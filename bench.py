@@ -1,0 +1,66 @@
+"""Benchmark: bmshj2018 encode+decode throughput on Kodak-sized images.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The north-star metric (BASELINE.md) is bmshj2018 end-to-end
+encode+decode images/sec/chip on 768x512 (Kodak-sized) inputs: device
+transforms + host-side native range coding, i.e. the full compress() /
+decompress() product path including bitstream (de)serialization.
+``vs_baseline`` is measured against the reference's CPU throughput —
+unavailable in this sandbox (BASELINE.md: unmeasured), so a conservative
+1.0 img/s placeholder is used until the reference can be timed.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# The reference's CPU img/s for bmshj2018 encode+decode. Not yet measurable
+# here (see BASELINE.md); 1.0 is the placeholder divisor.
+BASELINE_IMG_PER_S = 1.0
+
+
+def main():
+    import jax
+
+    from compression_tpu.models import bmshj2018
+
+    cfg = bmshj2018.Config()
+    model = bmshj2018.BMSHJ2018Model(cfg)
+    rng = np.random.RandomState(0)
+    image = (rng.rand(512, 768, 3) * 255).astype(np.uint8)
+    x0 = np.zeros((1, 512, 768, 3), np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+
+    # Warmup (compiles transforms; builds CDF tables once).
+    data = bmshj2018.compress(model, params, image)
+    out = bmshj2018.decompress(model, params, data)
+    assert out.shape == image.shape
+
+    n = 8
+    t0 = time.perf_counter()
+    for i in range(n):
+        data = bmshj2018.compress(model, params, image)
+        out = bmshj2018.decompress(model, params, data)
+    dt = time.perf_counter() - t0
+    img_per_s = n / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "bmshj2018_encode_decode_throughput",
+                "value": round(img_per_s, 3),
+                "unit": "img/s/chip (768x512)",
+                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

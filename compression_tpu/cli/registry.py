@@ -1,0 +1,155 @@
+"""Model registry: names -> (model family, config, checkpoint).
+
+Plays the role of the reference's pretrained-metagraph zoo (reference:
+models/tfci.py:≈100 `instantiate_model_signature` + the GCS metagraph
+cache): model *names* are stable identifiers embedded in .tfci files; the
+registry resolves them to a flax module + params. Checkpoints are msgpack
+param files in a local model dir (no network in this environment — the
+reference downloads from GCS; here `TPC_MODEL_DIR`, default
+``~/.cache/compression_tpu``, is the cache).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Callable, Dict, Optional, Tuple
+
+__all__ = ["ModelEntry", "REGISTRY", "resolve", "model_dir", "list_models"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelEntry:
+    family: str                 # module name under compression_tpu.models
+    make_model: Callable        # () -> (module instance)
+    compress: Callable          # (model, params, image) -> bytes
+    decompress: Callable        # (model, params, data) -> image
+    description: str = ""
+
+
+def _bls2017(lmbda: float = 0.01):
+    from compression_tpu.models import bls2017
+
+    cfg = bls2017.Config(lmbda=lmbda)
+    return ModelEntry(
+        "bls2017",
+        lambda: bls2017.BLS2017Model(cfg),
+        bls2017.compress,
+        bls2017.decompress,
+        "factorized prior (Ballé et al. 2017)",
+    )
+
+
+def _bmshj2018(lmbda: float = 0.01):
+    from compression_tpu.models import bmshj2018
+
+    cfg = bmshj2018.Config(lmbda=lmbda)
+    return ModelEntry(
+        "bmshj2018",
+        lambda: bmshj2018.BMSHJ2018Model(cfg),
+        bmshj2018.compress,
+        bmshj2018.decompress,
+        "scale hyperprior (Ballé et al. 2018)",
+    )
+
+
+def _mbt2018(lmbda: float = 0.01):
+    from compression_tpu.models import mbt2018
+
+    cfg = mbt2018.Config(lmbda=lmbda)
+    return ModelEntry(
+        "mbt2018-mean",
+        lambda: mbt2018.MBT2018Model(cfg),
+        mbt2018.compress,
+        mbt2018.decompress,
+        "mean-scale hyperprior (Minnen et al. 2018)",
+    )
+
+
+def _ms2020(lmbda: float = 0.01):
+    from compression_tpu.models import ms2020
+
+    cfg = ms2020.Config(lmbda=lmbda)
+    return ModelEntry(
+        "ms2020-cc10",
+        lambda: ms2020.MS2020Model(cfg),
+        ms2020.compress,
+        ms2020.decompress,
+        "channel-wise autoregressive, CHARM (Minnen & Singh 2020)",
+    )
+
+
+def _hific(name: str):
+    def make(_lmbda: float) -> ModelEntry:
+        from compression_tpu.models import hific
+
+        cfg = hific.get_config(name)
+        return ModelEntry(
+            "hific",
+            lambda: hific.HificModel(cfg),
+            hific.compress,
+            hific.decompress,
+            f"generative codec @ {cfg.target_rate} bpp (Mentzer et al. 2020)",
+        )
+
+    return make
+
+
+# Quality index -> lambda, approximating the reference's quality ladders
+# (reference: models/bmshj2018.py λ sweep for qualities 1-8).
+_LAMBDA_LADDER = (0.0016, 0.0032, 0.0075, 0.015, 0.03, 0.045, 0.08, 0.14)
+
+
+def _ladder_lambda(quality: int) -> float:
+    quality = max(1, min(len(_LAMBDA_LADDER), quality))
+    return _LAMBDA_LADDER[quality - 1]
+
+
+# Base builders; quality-suffixed names resolve through `resolve`.
+REGISTRY: Dict[str, Callable[[float], ModelEntry]] = {
+    "bls2017-factorized-mse": _bls2017,
+    "bmshj2018-hyperprior": _bmshj2018,
+    "bmshj2018-hyperprior-mse": _bmshj2018,
+    "mbt2018-mean": _mbt2018,
+    "mbt2018-mean-mse": _mbt2018,
+    "ms2020-cc10": _ms2020,
+    "ms2020-cc10-mse": _ms2020,
+    "hific-lo": _hific("hific-lo"),
+    "hific-mi": _hific("hific-mi"),
+    "hific-hi": _hific("hific-hi"),
+    # Short aliases.
+    "bls2017": _bls2017,
+    "bmshj2018": _bmshj2018,
+    "mbt2018": _mbt2018,
+    "ms2020": _ms2020,
+}
+
+
+def model_dir() -> str:
+    return os.environ.get(
+        "TPC_MODEL_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "compression_tpu"),
+    )
+
+
+def list_models():
+    return sorted(set(REGISTRY))
+
+
+def resolve(name: str) -> Tuple[ModelEntry, Optional[str]]:
+    """Resolves a model name (optionally quality-suffixed, e.g.
+    ``bmshj2018-hyperprior-mse-6``) to an entry + checkpoint path (or None
+    if no checkpoint exists yet)."""
+    base, quality = name, None
+    m = re.fullmatch(r"(.+)-(\d+)", name)
+    if m and m.group(1) in REGISTRY:
+        base, quality = m.group(1), int(m.group(2))
+    if base not in REGISTRY:
+        raise KeyError(
+            f"unknown model {name!r}; known: {', '.join(list_models())}"
+        )
+    lmbda = _ladder_lambda(quality) if quality is not None else 0.01
+    entry = REGISTRY[base](lmbda)
+    ckpt = os.path.join(model_dir(), f"{name}.msgpack")
+    return entry, (ckpt if os.path.exists(ckpt) else None)

@@ -1,0 +1,169 @@
+"""tfci-compatible CLI: compress / decompress / models / dump / train.
+
+Re-implementation of the reference CLI surface (reference:
+models/tfci.py:1-330). Differences forced by the environment: the reference
+fetches frozen metagraphs from GCS; this framework resolves model names
+through a local registry + msgpack checkpoints (zero-egress sandbox). The
+.tfci container format is byte-compatible (PackedTensors), including the
+self-describing model name — `decompress` needs no model argument.
+
+Usage:
+  python -m compression_tpu.cli.tfci models
+  python -m compression_tpu.cli.tfci compress bmshj2018-hyperprior-mse-6 in.png [out.tfci]
+  python -m compression_tpu.cli.tfci decompress out.tfci [out.png]
+  python -m compression_tpu.cli.tfci dump out.tfci
+  python -m compression_tpu.cli.tfci train bls2017 --steps 1000 --glob 'data/*.png'
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from compression_tpu.cli import registry
+from compression_tpu.util import PackedTensors
+from compression_tpu.util import image as image_util
+
+
+def _load_model(name: str, allow_random: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    entry, ckpt = registry.resolve(name)
+    if ckpt is None and not allow_random:
+        # Fail fast, before the (expensive) model init/compile.
+        raise FileNotFoundError(
+            f"no checkpoint for {name!r} in {registry.model_dir()} — train "
+            f"one (tfci train {name}) or pass --allow-random for testing"
+        )
+    model = entry.make_model()
+    x0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    if ckpt is not None:
+        from compression_tpu.models.common import load_checkpoint
+
+        params, _ = load_checkpoint(ckpt, params)
+    return entry, model, params
+
+
+def cmd_models(args) -> int:
+    for name in registry.list_models():
+        entry = registry.REGISTRY[name](0.01)
+        print(f"{name:32s} {entry.description}")
+    return 0
+
+
+def cmd_compress(args) -> int:
+    entry, model, params = _load_model(args.model, args.allow_random)
+    image = image_util.read_png(args.input)
+    data = entry.compress(model, params, image)
+    out = args.output or args.input + ".tfci"
+    with open(out, "wb") as f:
+        f.write(data)
+    bpp = len(data) * 8 / (image.shape[0] * image.shape[1])
+    print(f"{out}: {len(data)} bytes, {bpp:.4f} bpp")
+    return 0
+
+
+def cmd_decompress(args) -> int:
+    with open(args.input, "rb") as f:
+        data = f.read()
+    name = PackedTensors(data).model
+    entry, model, params = _load_model(name, args.allow_random)
+    image = entry.decompress(model, params, data)
+    out = args.output or os.path.splitext(args.input)[0] + ".png"
+    image_util.write_png(out, image)
+    print(f"{out}: {image.shape[1]}x{image.shape[0]} (model {name})")
+    return 0
+
+
+def cmd_dump(args) -> int:
+    with open(args.input, "rb") as f:
+        packed = PackedTensors(f.read())
+    print(f"model: {packed.model}")
+    i = 0
+    while True:
+        try:
+            (tensor,) = packed.unpack([object])
+        except KeyError:
+            break
+        # Heuristic display only; dump is for debugging.
+        print(f"tensor {i}: {len(tensor)} value(s)")
+        break
+    return 0
+
+
+def cmd_train(args) -> int:
+    from compression_tpu.models.common import TrainConfig, save_checkpoint
+
+    entry, ckpt = registry.resolve(args.model)
+    family = entry.family
+    import importlib
+
+    tc = TrainConfig(
+        train_glob=args.glob,
+        batch_size=args.batch_size,
+        patch_size=args.patch_size,
+        steps=args.steps,
+        checkpoint_dir=registry.model_dir(),
+        num_devices=args.num_devices,
+    )
+    if family == "hific":
+        from compression_tpu.models import hific
+
+        model, params, _ = hific.train(hific.get_config(args.model), tc)
+    else:
+        mod = importlib.import_module(f"compression_tpu.models.{family}")
+        cfg = mod.Config(lmbda=args.lmbda)
+        model, params = mod.train(cfg, tc)
+    path = os.path.join(registry.model_dir(), f"{args.model}.msgpack")
+    save_checkpoint(path, params, tc.steps)
+    print(f"saved {path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tfci", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("models", help="list available models")
+    sp.set_defaults(fn=cmd_models)
+
+    sp = sub.add_parser("compress", help="compress a PNG to .tfci")
+    sp.add_argument("model")
+    sp.add_argument("input")
+    sp.add_argument("output", nargs="?")
+    sp.add_argument("--allow-random", action="store_true")
+    sp.set_defaults(fn=cmd_compress)
+
+    sp = sub.add_parser("decompress", help="decompress a .tfci to PNG")
+    sp.add_argument("input")
+    sp.add_argument("output", nargs="?")
+    sp.add_argument("--allow-random", action="store_true")
+    sp.set_defaults(fn=cmd_decompress)
+
+    sp = sub.add_parser("dump", help="inspect a .tfci container")
+    sp.add_argument("input")
+    sp.set_defaults(fn=cmd_dump)
+
+    sp = sub.add_parser("train", help="train a model into the local registry")
+    sp.add_argument("model")
+    sp.add_argument("--glob", default=None)
+    sp.add_argument("--steps", type=int, default=10000)
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--patch-size", type=int, default=256)
+    sp.add_argument("--lmbda", type=float, default=0.01)
+    sp.add_argument("--num-devices", type=int, default=1)
+    sp.set_defaults(fn=cmd_train)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

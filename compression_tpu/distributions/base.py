@@ -75,7 +75,9 @@ def register_distribution_pytree(cls):
     """Class decorator: register a frozen dataclass Distribution as a pytree.
 
     Array-typed fields become pytree leaves; fields listed in
-    ``cls._static_fields`` (a tuple of names) are hashable aux data.
+    ``cls._static_fields`` (a tuple of names) are hashable aux data. Also
+    registers flax state-dict handlers so distributions held as flax params
+    (e.g. a trainable prior) serialize to msgpack checkpoints.
     """
     fields = [f.name for f in dataclasses.fields(cls)]
     static = tuple(getattr(cls, "_static_fields", ()))
@@ -92,4 +94,22 @@ def register_distribution_pytree(cls):
         return cls(**kwargs)
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+    from flax import serialization
+
+    def to_state(obj):
+        return {
+            name: serialization.to_state_dict(getattr(obj, name))
+            for name in dynamic
+        }
+
+    def from_state(target, state):
+        kwargs = {
+            name: serialization.from_state_dict(getattr(target, name), state[name])
+            for name in dynamic
+        }
+        kwargs.update({name: getattr(target, name) for name in static})
+        return cls(**kwargs)
+
+    serialization.register_serialization_state(cls, to_state, from_state)
     return cls

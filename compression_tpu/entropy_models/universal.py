@@ -1,0 +1,171 @@
+"""Universal quantization entropy models.
+
+Re-design of UniversalBatchedEntropyModel / UniversalIndexedEntropyModel
+(reference: tensorflow_compression/python/entropy_models/universal.py:1-480;
+Agustsson & Theis 2020, "Universally Quantized Neural Compression").
+
+Universal quantization replaces mode-centered grids with **deterministic
+pseudo-random dither**: element ``e`` is reconstructed as
+``round(y_e - u_e) + u_e`` where ``u_e in (-1/2, 1/2)`` is a fixed function
+of the element's position, shared by encoder and decoder. The quantization
+error is then uniform and independent of the source — the training-time
+additive-noise surrogate matches the test-time distribution *exactly*, so
+there is no train/test mismatch to tune away.
+
+The dither is quantized to ``num_noise_levels`` values so the indexed
+variant only multiplies its CDF table count by that factor. Offsets are
+derived from a golden-ratio low-discrepancy sequence over the element index
+(deterministic, shape-independent, no stored state) — this framework's spec
+for the shared pseudo-random source.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.codec import host as codec
+from compression_tpu.entropy_models.continuous_batched import (
+    ContinuousBatchedEntropyModel,
+)
+from compression_tpu.entropy_models.continuous_indexed import (
+    ContinuousIndexedEntropyModel,
+)
+
+__all__ = ["UniversalBatchedEntropyModel", "UniversalIndexedEntropyModel"]
+
+_PHI = 0.6180339887498949  # golden ratio conjugate
+
+
+def _dither(indices: np.ndarray, num_levels: int) -> np.ndarray:
+    """Quantized low-discrepancy offsets in (-1/2, 1/2) per element index."""
+    u = (indices.astype(np.float64) * _PHI + 0.5 * _PHI) % 1.0
+    level = np.floor(u * num_levels)
+    return (level + 0.5) / num_levels - 0.5
+
+
+class UniversalBatchedEntropyModel(ContinuousBatchedEntropyModel):
+    """Batched entropy model with per-channel deterministic dither."""
+
+    def __init__(self, prior, coding_rank: int, *, num_noise_levels: int = 15,
+                 **kwargs):
+        self.num_noise_levels = int(num_noise_levels)
+        kwargs.setdefault("offset_heuristic", False)
+        super().__init__(prior, coding_rank, **kwargs)
+
+    def _table_offsets(self, prior) -> np.ndarray:
+        num = int(np.prod(prior.batch_shape)) if prior.batch_shape else 1
+        return _dither(np.arange(num), self.num_noise_levels)
+
+
+class UniversalIndexedEntropyModel(ContinuousIndexedEntropyModel):
+    """Indexed entropy model with per-position deterministic dither.
+
+    CDF rows are tabulated for every (index combination, noise level) pair;
+    an element at flat position ``p`` uses noise level ``level(p)`` (fixed
+    golden-ratio hash), so the effective row is
+    ``flat_index * num_noise_levels + level(p)``.
+    """
+
+    def __init__(
+        self,
+        prior_fn: Callable,
+        index_ranges: Sequence[int],
+        parameter_fns: Dict[str, Callable],
+        coding_rank: int,
+        *,
+        num_noise_levels: int = 15,
+        **kwargs,
+    ):
+        self.num_noise_levels = int(num_noise_levels)
+        super().__init__(
+            prior_fn, index_ranges, parameter_fns, coding_rank, **kwargs
+        )
+
+    # The full table grid is (index combos) x (noise levels): build it by
+    # treating the noise level as an extra trailing index dimension whose
+    # parameters are independent of it, and whose offset is the dither value.
+    def build_tables(self, prior=None):
+        if prior is None:
+            # Repeat each index-combo row once per noise level.
+            L = self.num_noise_levels
+            levels = np.arange(L)
+            u = (levels + 0.5) / L - 0.5  # dither value per level
+            num = int(np.prod(self.index_ranges))
+            # Rebuild PMFs on shifted grids: evaluate through the same path
+            # by calling the base builder once per level with offset override.
+            tables = []
+            for lvl in range(L):
+                self._offset_override = np.full(num, u[lvl])
+                tables.append(super().build_tables())
+            self._offset_override = None
+            cdf_len = max(t.cdf.shape[1] for t in tables)
+            cdf = np.zeros((num * L, cdf_len), np.int32)
+            length = np.zeros(num * L, np.int32)
+            off = np.zeros(num * L, np.int32)
+            frac = np.zeros(num * L, np.float64)
+            for lvl, t in enumerate(tables):
+                rows = np.arange(num) * L + lvl
+                cdf[rows, : t.cdf.shape[1]] = t.cdf
+                length[rows] = t.cdf_length
+                off[rows] = t.cdf_offset
+                frac[rows] = t.offset
+            from compression_tpu.entropy_models.continuous_base import CdfTables
+
+            return CdfTables(
+                cdf=cdf, cdf_length=length, cdf_offset=off, offset=frac,
+                precision=self.range_coder_precision,
+            )
+        return super().build_tables(prior)
+
+    _offset_override = None
+
+    def _table_offsets(self, prior) -> np.ndarray:
+        if self._offset_override is not None:
+            return self._offset_override
+        return super()._table_offsets(prior)
+
+    def _position_levels(self, unit_size: int) -> np.ndarray:
+        u = (np.arange(unit_size, dtype=np.float64) * _PHI + 0.5 * _PHI) % 1.0
+        return np.floor(u * self.num_noise_levels).astype(np.int64)
+
+    def _position_dither(self, unit_size: int) -> np.ndarray:
+        levels = self._position_levels(unit_size)
+        return (levels + 0.5) / self.num_noise_levels - 0.5
+
+    def compress(self, y, indexes) -> List[bytes]:
+        tables = self._require_tables()
+        batch, unit = self._batch_split(jnp.shape(y))
+        n = int(np.prod(batch)) if batch else 1
+        m = int(np.prod(unit))
+        u = self._position_dither(m)
+        levels = self._position_levels(m)
+        y_host = np.asarray(jax.device_get(y), np.float64).reshape(n, m)
+        symbols = np.round(y_host - u[None, :]).astype(np.int32)
+        flat_idx = self._flat_int_indexes(indexes).reshape(n, m)
+        rows = (flat_idx.astype(np.int64) * self.num_noise_levels + levels[None, :]).astype(np.int32)
+        return codec.entropy_encode(
+            symbols, rows, tables.cdf, tables.cdf_length, tables.cdf_offset,
+            tables.precision,
+        )
+
+    def decompress(self, strings: List[bytes], indexes):
+        tables = self._require_tables()
+        flat_idx = self._flat_int_indexes(indexes)
+        n = len(strings)
+        m = flat_idx.size // n
+        levels = self._position_levels(m)
+        u = self._position_dither(m)
+        rows = (
+            flat_idx.reshape(n, m).astype(np.int64) * self.num_noise_levels
+            + levels[None, :]
+        ).astype(np.int32)
+        values = codec.entropy_decode(
+            strings, rows, tables.cdf, tables.cdf_length, tables.cdf_offset,
+            tables.precision,
+        )
+        y_hat = values.reshape(n, m).astype(np.float64) + u[None, :]
+        return jnp.asarray(y_hat.reshape(flat_idx.shape).astype(np.float32))

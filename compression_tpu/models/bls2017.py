@@ -1,0 +1,223 @@
+"""bls2017: factorized-prior end-to-end image codec.
+
+TPU-native re-implementation of the Ballé–Laparra–Simoncelli 2017 codec
+("End-to-end optimized image compression"; reference: models/bls2017.py:
+1-350): a 3-layer GDN analysis transform, a factorized DeepFactorized
+prior over the latents, and a mirrored IGDN synthesis transform. Loss is
+``R + lambda * 255^2 * MSE`` on 256x256 crops.
+
+The whole forward-train step is one jitted function; compress/decompress
+run the transforms on device and the range coder host-side through the
+native codec (one batched call per image batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.entropy_models import ContinuousBatchedEntropyModel
+from compression_tpu.layers import GDN, SignalConv2D
+from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.models import common
+from compression_tpu.util import PackedTensors
+from compression_tpu.util import image as image_util
+
+__all__ = ["BLS2017Model", "Config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    lmbda: float = 0.01
+    num_filters: int = 128
+    coding_rank: int = 3
+    model_name: str = "bls2017"
+    downscale: int = 16  # total downsampling of the analysis transform
+
+
+class AnalysisTransform(nn.Module):
+    """x -> y: 9x9/4 then two 5x5/2 SignalConvs with GDN between."""
+
+    num_filters: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = SignalConv2D(
+            self.num_filters, (9, 9), corr=True, strides_down=4,
+            padding="same_zeros", use_bias=True, name="conv0",
+        )(x)
+        x = GDN(name="gdn0")(x)
+        x = SignalConv2D(
+            self.num_filters, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=True, name="conv1",
+        )(x)
+        x = GDN(name="gdn1")(x)
+        x = SignalConv2D(
+            self.num_filters, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=False, name="conv2",
+        )(x)
+        return x
+
+
+class SynthesisTransform(nn.Module):
+    """y_hat -> x_hat: mirror of the analysis with IGDN and upsampling."""
+
+    num_filters: int
+
+    @nn.compact
+    def __call__(self, y):
+        y = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, name="conv0",
+        )(y)
+        y = GDN(inverse=True, name="igdn0")(y)
+        y = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, name="conv1",
+        )(y)
+        y = GDN(inverse=True, name="igdn1")(y)
+        y = SignalConv2D(
+            3, (9, 9), corr=False, strides_up=4,
+            padding="same_zeros", use_bias=True, name="conv2",
+        )(y)
+        return y
+
+
+class BLS2017Model(nn.Module):
+    """Analysis + factorized prior + synthesis, as one flax module."""
+
+    config: Config = Config()
+
+    def setup(self):
+        cfg = self.config
+        self.analysis = AnalysisTransform(cfg.num_filters)
+        self.synthesis = SynthesisTransform(cfg.num_filters)
+        self.prior = DeepFactorizedPrior(batch_shape=(cfg.num_filters,))
+
+    def __call__(self, x, rng, training: bool = True):
+        """Train/eval forward pass: returns (x_hat, bits_per_image)."""
+        y = self.analysis(x)
+        em = ContinuousBatchedEntropyModel(
+            self.prior(), coding_rank=self.config.coding_rank
+        )
+        y_tilde, bits = em(y, rng=rng, training=training)
+        x_hat = self.synthesis(y_tilde)
+        return x_hat, bits
+
+    # -- submodule entry points (for compress/decompress paths) -------------
+
+    def analyze(self, x):
+        return self.analysis(x)
+
+    def synthesize(self, y_hat):
+        return self.synthesis(y_hat)
+
+    def get_prior(self):
+        return self.prior()
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+def make_loss_fn(model: BLS2017Model):
+    cfg = model.config
+
+    def loss_fn(params, batch, rng):
+        x = batch  # float32 in [0, 1]
+        x_hat, bits = model.apply(params, x, rng, training=True)
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp = jnp.mean(bits) / num_pixels
+        mse = jnp.mean(jnp.square(x - x_hat)) * (255.0**2)
+        loss = bpp + cfg.lmbda * mse
+        return loss, {"bpp": bpp, "mse": mse}
+
+    return loss_fn
+
+
+def train(cfg: Config, train_cfg: common.TrainConfig, params=None):
+    model = BLS2017Model(cfg)
+
+    def init_fn(rng, batch):
+        return model.init(rng, batch, jax.random.PRNGKey(0), training=True)
+
+    return model, common.train_model(
+        init_fn, make_loss_fn(model), train_cfg, params=params
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coding
+# ---------------------------------------------------------------------------
+
+
+class Codec:
+    """One-time jitted transforms + prebuilt tables for a trained model."""
+
+    def __init__(self, model: BLS2017Model, params):
+        self.model = model
+        self.cfg = model.config
+        prior = model.apply(params, method=BLS2017Model.get_prior)
+        self.em = ContinuousBatchedEntropyModel(
+            prior, coding_rank=model.config.coding_rank, compression=True
+        )
+        self._analyze = jax.jit(
+            lambda x: model.apply(params, x, method=BLS2017Model.analyze)
+        )
+        self._synthesize = jax.jit(
+            lambda y: jnp.clip(
+                jnp.round(
+                    model.apply(params, y, method=BLS2017Model.synthesize)
+                    * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+
+    def compress(self, image: np.ndarray) -> bytes:
+        x = jnp.asarray(image, jnp.float32)[None] / 255.0
+        x, (h, w) = image_util.pad_to_multiple(x, self.cfg.downscale)
+        y = self._analyze(x)
+        strings = self.em.compress(y)
+        packed = PackedTensors()
+        packed.model = self.cfg.model_name
+        packed.pack(
+            [
+                strings[0],
+                np.array([h, w], np.int32),
+                np.array(y.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        packed = PackedTensors(data)
+        string, xshape, yshape = packed.unpack([object, np.int32, np.int32])
+        y_hat = self.em.decompress(
+            [bytes(string[0])], tuple(int(v) for v in yshape)
+        )
+        x_hat = self._synthesize(y_hat)
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
+        return np.asarray(jax.device_get(x_hat), np.uint8)
+
+
+def make_codec(model: BLS2017Model, params) -> Codec:
+    from compression_tpu.models.codec_cache import cached
+
+    return cached(params, lambda: Codec(model, params))
+
+
+def compress(model: BLS2017Model, params, image: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) image -> .tfci-style packed bytes."""
+    return make_codec(model, params).compress(image)
+
+
+def decompress(model: BLS2017Model, params, data: bytes) -> np.ndarray:
+    return make_codec(model, params).decompress(data)

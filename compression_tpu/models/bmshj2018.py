@@ -1,0 +1,304 @@
+"""bmshj2018: scale-hyperprior image codec (the framework's flagship).
+
+TPU-native re-implementation of Ballé, Minnen, Singh, Hwang, Johnston 2018
+("Variational image compression with a scale hyperprior"; reference:
+models/bmshj2018.py:1-420): a 4-layer GDN analysis/synthesis pair for the
+latent y, plus a hyper-analysis/synthesis pair producing a per-element scale
+field sigma for y. z is coded with a factorized prior; y with a
+scale-indexed location-scale entropy model over the standard log-spaced
+scale table (SCALES_MIN=0.11, SCALES_MAX=256, 64 levels).
+
+Two bitstreams per image (z then y); decode runs hyper-synthesis between
+them — the canonical two-stage structure every hyperprior codec shares.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.entropy_models import (
+    ContinuousBatchedEntropyModel,
+    LocationScaleIndexedEntropyModel,
+    SCALES_MIN,
+)
+from compression_tpu.distributions.uniform_noise import NoisyNormal
+from compression_tpu.layers import GDN, SignalConv2D
+from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.models import common
+from compression_tpu.util import PackedTensors
+from compression_tpu.util import image as image_util
+
+__all__ = ["BMSHJ2018Model", "Config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    lmbda: float = 0.01
+    num_filters: int = 192      # transform width
+    num_latents: int = 192      # channels of y
+    num_hyperlatents: int = 128  # channels of z
+    model_name: str = "bmshj2018-hyperprior"
+    downscale: int = 64          # 16 (analysis) * 4 (hyper-analysis)
+
+
+class AnalysisTransform(nn.Module):
+    num_filters: int
+    num_latents: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(3):
+            x = SignalConv2D(
+                self.num_filters, (5, 5), corr=True, strides_down=2,
+                padding="same_zeros", use_bias=True, name=f"conv{i}",
+            )(x)
+            x = GDN(name=f"gdn{i}")(x)
+        return SignalConv2D(
+            self.num_latents, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=False, name="conv3",
+        )(x)
+
+
+class SynthesisTransform(nn.Module):
+    num_filters: int
+
+    @nn.compact
+    def __call__(self, y):
+        for i in range(3):
+            y = SignalConv2D(
+                self.num_filters, (5, 5), corr=False, strides_up=2,
+                padding="same_zeros", use_bias=True, name=f"conv{i}",
+            )(y)
+            y = GDN(inverse=True, name=f"igdn{i}")(y)
+        return SignalConv2D(
+            3, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, name="conv3",
+        )(y)
+
+
+class HyperAnalysisTransform(nn.Module):
+    num_filters: int
+    num_hyperlatents: int
+
+    @nn.compact
+    def __call__(self, y):
+        z = SignalConv2D(
+            self.num_filters, (3, 3), corr=True, padding="same_zeros",
+            use_bias=True, activation=nn.relu, name="conv0",
+        )(jnp.abs(y))
+        z = SignalConv2D(
+            self.num_filters, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv1",
+        )(z)
+        return SignalConv2D(
+            self.num_hyperlatents, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=False, name="conv2",
+        )(z)
+
+
+class HyperSynthesisTransform(nn.Module):
+    """z_hat -> sigma (clamped to the scale table's lower edge)."""
+
+    num_filters: int
+    num_latents: int
+
+    @nn.compact
+    def __call__(self, z):
+        z = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv0",
+        )(z)
+        z = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv1",
+        )(z)
+        sigma = SignalConv2D(
+            self.num_latents, (3, 3), corr=True, padding="same_zeros",
+            use_bias=True, name="conv2",
+        )(z)
+        # Keep sigma strictly inside the coder's scale-table domain.
+        return jnp.maximum(sigma, SCALES_MIN)
+
+
+class BMSHJ2018Model(nn.Module):
+    config: Config = Config()
+
+    def setup(self):
+        cfg = self.config
+        self.analysis = AnalysisTransform(cfg.num_filters, cfg.num_latents)
+        self.synthesis = SynthesisTransform(cfg.num_filters)
+        self.hyper_analysis = HyperAnalysisTransform(
+            cfg.num_filters, cfg.num_hyperlatents
+        )
+        self.hyper_synthesis = HyperSynthesisTransform(
+            cfg.num_filters, cfg.num_latents
+        )
+        self.hyperprior = DeepFactorizedPrior(
+            batch_shape=(cfg.num_hyperlatents,)
+        )
+
+    def side_entropy_model(self, **kwargs):
+        return ContinuousBatchedEntropyModel(
+            self.hyperprior(), coding_rank=3, **kwargs
+        )
+
+    @staticmethod
+    def main_entropy_model(**kwargs):
+        return LocationScaleIndexedEntropyModel(
+            NoisyNormal, coding_rank=3, **kwargs
+        )
+
+    def __call__(self, x, rng, training: bool = True):
+        """Returns (x_hat, y_bits, z_bits) per image."""
+        rng_y, rng_z = jax.random.split(rng)
+        y = self.analysis(x)
+        z = self.hyper_analysis(y)
+        side_em = self.side_entropy_model()
+        z_tilde, z_bits = side_em(z, rng=rng_z, training=training)
+        sigma = self.hyper_synthesis(z_tilde)
+        em = self.main_entropy_model()
+        y_tilde, y_bits = em(y, sigma, rng=rng_y, training=training)
+        x_hat = self.synthesis(y_tilde)
+        return x_hat, y_bits, z_bits
+
+    # -- coding entry points -------------------------------------------------
+
+    def encode_latents(self, x):
+        """x -> (y, z, sigma of quantized z path not yet applied)."""
+        y = self.analysis(x)
+        z = self.hyper_analysis(y)
+        return y, z
+
+    def sigma_from_zhat(self, z_hat):
+        return self.hyper_synthesis(z_hat)
+
+    def synthesize(self, y_hat):
+        return self.synthesis(y_hat)
+
+    def get_hyperprior(self):
+        return self.hyperprior()
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+def make_loss_fn(model: BMSHJ2018Model):
+    cfg = model.config
+
+    def loss_fn(params, batch, rng):
+        x = batch
+        x_hat, y_bits, z_bits = model.apply(params, x, rng, training=True)
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp = (jnp.mean(y_bits) + jnp.mean(z_bits)) / num_pixels
+        mse = jnp.mean(jnp.square(x - x_hat)) * (255.0**2)
+        loss = bpp + cfg.lmbda * mse
+        return loss, {"bpp": bpp, "mse": mse}
+
+    return loss_fn
+
+
+def train(cfg: Config, train_cfg: common.TrainConfig, params=None):
+    model = BMSHJ2018Model(cfg)
+
+    def init_fn(rng, batch):
+        return model.init(rng, batch, jax.random.PRNGKey(0), training=True)
+
+    return model, common.train_model(
+        init_fn, make_loss_fn(model), train_cfg, params=params
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coding
+# ---------------------------------------------------------------------------
+
+
+class Codec:
+    """Jitted transforms + prebuilt CDF tables for a trained model."""
+
+    def __init__(self, model: BMSHJ2018Model, params):
+        self.cfg = model.config
+        hyperprior = model.apply(params, method=BMSHJ2018Model.get_hyperprior)
+        self.side_em = ContinuousBatchedEntropyModel(
+            hyperprior, coding_rank=3, compression=True
+        )
+        self.em = LocationScaleIndexedEntropyModel(
+            NoisyNormal, coding_rank=3, compression=True
+        )
+        self._encode = jax.jit(
+            lambda x: model.apply(params, x, method=BMSHJ2018Model.encode_latents)
+        )
+        self._sigma = jax.jit(
+            lambda z: model.apply(
+                params, z, method=BMSHJ2018Model.sigma_from_zhat
+            )
+        )
+        self._synthesize = jax.jit(
+            lambda y: jnp.clip(
+                jnp.round(
+                    model.apply(params, y, method=BMSHJ2018Model.synthesize)
+                    * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+
+    def compress(self, image: np.ndarray) -> bytes:
+        x = jnp.asarray(image, jnp.float32)[None] / 255.0
+        x, (h, w) = image_util.pad_to_multiple(x, self.cfg.downscale)
+        y, z = self._encode(x)
+        z_strings = self.side_em.compress(z)
+        z_hat = self.side_em.decompress(z_strings, z.shape[1:3])
+        sigma = self._sigma(z_hat)
+        y_strings = self.em.compress(y, sigma)
+        packed = PackedTensors()
+        packed.model = self.cfg.model_name
+        packed.pack(
+            [
+                y_strings[0],
+                z_strings[0],
+                np.array([h, w], np.int32),
+                np.array(z.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        packed = PackedTensors(data)
+        y_string, z_string, xshape, zshape = packed.unpack(
+            [object, object, np.int32, np.int32]
+        )
+        z_hat = self.side_em.decompress(
+            [bytes(z_string[0])], tuple(int(v) for v in zshape)
+        )
+        sigma = self._sigma(z_hat)
+        y_hat = self.em.decompress([bytes(y_string[0])], sigma)
+        x_hat = self._synthesize(y_hat)
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
+        return np.asarray(jax.device_get(x_hat), np.uint8)
+
+
+def make_codec(model: BMSHJ2018Model, params) -> Codec:
+    from compression_tpu.models.codec_cache import cached
+
+    return cached(params, lambda: Codec(model, params))
+
+
+def compress(model: BMSHJ2018Model, params, image: np.ndarray) -> bytes:
+    return make_codec(model, params).compress(image)
+
+
+def decompress(model: BMSHJ2018Model, params, data: bytes) -> np.ndarray:
+    return make_codec(model, params).decompress(data)

@@ -1,0 +1,180 @@
+"""Shared model-zoo machinery: datasets, train loop, CLI scaffolding.
+
+The reference drives each codec from a self-contained script with
+train/compress/decompress verbs built on Keras `model.fit` and tf.data
+(reference: models/bls2017.py:≈230-340). Here the equivalents are:
+
+* an index-shuffled NumPy crop pipeline feeding jitted steps (the models are
+  conv codecs on 256x256 crops — input pipeline is never the bottleneck; a
+  synthetic-noise fallback keeps smoke training runnable with no dataset),
+* one optax/orbax training loop shared by every model (single-chip `jit` or
+  data-parallel `shard_map` over a mesh via
+  :mod:`compression_tpu.parallel.data_parallel`),
+* a tiny argparse scaffold the model scripts plug their verbs into.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob as globlib
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from compression_tpu.util import image as image_util
+
+__all__ = [
+    "TrainConfig",
+    "crop_dataset",
+    "train_model",
+    "save_checkpoint",
+    "load_checkpoint",
+]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    train_glob: Optional[str] = None   # image file glob; None = synthetic
+    batch_size: int = 8
+    patch_size: int = 256
+    learning_rate: float = 1e-4
+    steps: int = 1_000_000
+    log_every: int = 100
+    checkpoint_every: int = 5000
+    checkpoint_dir: Optional[str] = None
+    seed: int = 0
+    num_devices: int = 1               # data-parallel width (mesh axis)
+
+
+def _load_images(pattern: str, max_images: int = 2000):
+    paths = sorted(globlib.glob(pattern))[:max_images]
+    if not paths:
+        raise FileNotFoundError(f"no images match {pattern!r}")
+    return [image_util.read_png(p) for p in paths]
+
+
+def crop_dataset(cfg: TrainConfig) -> Iterator[np.ndarray]:
+    """Yields float32 batches in [0, 1], shape (B, P, P, 3), forever."""
+    rng = np.random.RandomState(cfg.seed)
+    p = cfg.patch_size
+    images = None
+    if cfg.train_glob:
+        images = [
+            im for im in _load_images(cfg.train_glob)
+            if im.shape[0] >= p and im.shape[1] >= p
+        ]
+        if not images:
+            raise ValueError(f"no images >= {p}x{p} in {cfg.train_glob!r}")
+    while True:
+        batch = np.empty((cfg.batch_size, p, p, 3), np.float32)
+        for b in range(cfg.batch_size):
+            if images is None:
+                # Synthetic fallback: smooth random fields (keeps smoke
+                # training meaningful — compressible, non-trivial statistics).
+                base = rng.randn(p // 8, p // 8, 3).astype(np.float32)
+                up = np.kron(base, np.ones((8, 8, 1), np.float32))
+                batch[b] = 1 / (1 + np.exp(-up))
+            else:
+                im = images[rng.randint(len(images))]
+                y = rng.randint(im.shape[0] - p + 1)
+                x = rng.randint(im.shape[1] - p + 1)
+                batch[b] = im[y : y + p, x : x + p].astype(np.float32) / 255.0
+        yield batch
+
+
+def save_checkpoint(path: str, params, step: int) -> None:
+    """Serializes a param pytree with flax's msgpack (orbax-free fast path)."""
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    blob = serialization.to_bytes({"params": params, "step": step})
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_checkpoint(path: str, params_template):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    state = serialization.from_bytes(
+        {"params": params_template, "step": 0}, blob
+    )
+    return state["params"], state["step"]
+
+
+def train_model(
+    init_fn: Callable,
+    loss_fn: Callable,
+    cfg: TrainConfig,
+    *,
+    params=None,
+    hooks: Optional[Callable] = None,
+):
+    """Generic training loop.
+
+    Args:
+      init_fn: (rng, example_batch) -> params pytree.
+      loss_fn: (params, batch, rng) -> (loss, metrics dict). Pure; jitted
+        here (and wrapped for data parallelism when cfg.num_devices > 1).
+      cfg: TrainConfig.
+      params: optional initial params (resume).
+      hooks: optional callable(step, metrics) for logging.
+
+    Returns:
+      Trained params.
+    """
+    data = crop_dataset(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    batch0 = jnp.asarray(next(data))
+    if params is None:
+        rng, init_rng = jax.random.split(rng)
+        params = init_fn(init_rng, batch0)
+
+    tx = optax.adam(cfg.learning_rate)
+    opt_state = tx.init(params)
+
+    if cfg.num_devices > 1:
+        from compression_tpu.parallel.data_parallel import make_dp_step
+
+        step_fn = make_dp_step(loss_fn, tx, cfg.num_devices)
+    else:
+
+        @jax.jit
+        def step_fn(params, opt_state, batch, step_rng):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, step_rng
+            )
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return (
+                optax.apply_updates(params, updates),
+                new_opt,
+                {"loss": loss, **metrics},
+            )
+
+    t0 = time.time()
+    for step in range(1, cfg.steps + 1):
+        rng, step_rng = jax.random.split(rng)
+        batch = jnp.asarray(next(data))
+        params, opt_state, metrics = step_fn(params, opt_state, batch, step_rng)
+        if step % cfg.log_every == 0 or step == cfg.steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = step * cfg.batch_size / (time.time() - t0)
+            line = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+            print(f"step {step}: {line} ({rate:.1f} img/s)")
+            if hooks:
+                hooks(step, m)
+        if cfg.checkpoint_dir and (
+            step % cfg.checkpoint_every == 0 or step == cfg.steps
+        ):
+            save_checkpoint(
+                os.path.join(cfg.checkpoint_dir, "checkpoint.msgpack"),
+                params,
+                step,
+            )
+    return params

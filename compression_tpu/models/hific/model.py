@@ -1,0 +1,268 @@
+"""HiFiC: generative image codec (rate + distortion + perception + GAN).
+
+TPU-native re-implementation of the reference model (reference:
+models/hific/model.py:1-700; Mentzer et al. 2020). Structure:
+
+  Encoder -> y -> [mean-scale hyperprior entropy coding] -> y_hat
+  Generator(y_hat) -> x_hat
+  Discriminator(x or x_hat, conditioned on y_hat) -> patch logits
+
+Loss (generator side):
+  L_G = lambda(bpp) * bpp + k_mse * MSE_255 + k_lpips * LPIPS
+        + k_gan * (-log sigmoid(D(x_hat)))
+with the two-lambda rate hinge: lambda = lambda_a while bpp exceeds the
+target rate, else lambda_b (reference model.py rate targeting).
+Discriminator: standard non-saturating logistic loss.
+
+The whole G+D update is ONE jitted train step (both grads in a single
+backward region — XLA fuses and overlaps them), unlike the reference's
+TF1 graph-and-session loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from compression_tpu.entropy_models import (
+    ContinuousBatchedEntropyModel,
+    LocationScaleIndexedEntropyModel,
+)
+from compression_tpu.distributions.uniform_noise import NoisyNormal
+from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.models.hific import archs
+from compression_tpu.models.hific.configs import HificConfig
+from compression_tpu.models.mbt2018 import (
+    HyperAnalysisTransform,
+    HyperSynthesisTransform,
+)
+from compression_tpu.util import PackedTensors
+from compression_tpu.util import image as image_util
+
+__all__ = ["HificModel", "make_train_steps", "compress", "decompress"]
+
+
+class HificModel(nn.Module):
+    """Encoder + hyperprior + generator (the G side; D is separate)."""
+
+    config: HificConfig
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = archs.Encoder(cfg.num_latents)
+        self.generator = archs.Generator(cfg.num_residual_blocks)
+        self.hyper_analysis = HyperAnalysisTransform(
+             cfg.num_hyperlatents, cfg.num_hyperlatents
+        )
+        self.hyper_synthesis = HyperSynthesisTransform(
+            cfg.num_hyperlatents, cfg.num_latents
+        )
+        self.hyperprior = DeepFactorizedPrior(
+            batch_shape=(cfg.num_hyperlatents,)
+        )
+
+    def __call__(self, x, rng, training: bool = True):
+        """Returns (x_hat, y_hat, bpp)."""
+        rng_y, rng_z = jax.random.split(rng)
+        y = self.encoder(x)
+        z = self.hyper_analysis(y)
+        side_em = ContinuousBatchedEntropyModel(self.hyperprior(), coding_rank=3)
+        z_tilde, z_bits = side_em(z, rng=rng_z, training=training)
+        mu, sigma = self.hyper_synthesis(z_tilde)
+        em = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
+        # HiFiC decodes from *quantized* latents even in training (the
+        # generator must see what the real decoder sees); rate uses noise.
+        _, y_bits = em(y, sigma, loc=mu, rng=rng_y, training=training)
+        y_hat = em.quantize(y, loc=mu)
+        x_hat = self.generator(y_hat)
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp = (jnp.mean(y_bits) + jnp.mean(z_bits)) / num_pixels
+        return x_hat, y_hat, bpp
+
+    def encode_latents(self, x):
+        y = self.encoder(x)
+        z = self.hyper_analysis(y)
+        return y, z
+
+    def params_from_zhat(self, z_hat):
+        return self.hyper_synthesis(z_hat)
+
+    def generate(self, y_hat):
+        return self.generator(y_hat)
+
+    def get_hyperprior(self):
+        return self.hyperprior()
+
+
+def make_train_steps(
+    model: HificModel,
+    disc: archs.Discriminator,
+    lpips_model,
+    lpips_params,
+    cfg: HificConfig,
+):
+    """Builds the jitted joint G/D train step.
+
+    Returns ``step(g_params, d_vars, g_opt, d_opt, batch, rng)`` ->
+    ``(g_params, d_vars, g_opt, d_opt, metrics)``.
+    """
+    g_tx = optax.adam(cfg.lr)
+    d_tx = optax.adam(cfg.disc_lr)
+
+    def g_loss_fn(g_params, d_vars, batch, rng):
+        x_hat, y_hat, bpp = model.apply(g_params, batch, rng, training=True)
+        mse = jnp.mean(jnp.square(batch - x_hat)) * (255.0**2)
+        perceptual = jnp.mean(
+            lpips_model.apply(
+                lpips_params, jnp.clip(batch, 0, 1), jnp.clip(x_hat, 0, 1)
+            )
+        )
+        logits_fake = disc.apply(
+            d_vars, x_hat, jax.lax.stop_gradient(y_hat), update_stats=False
+        )
+        gan_loss = jnp.mean(jax.nn.softplus(-logits_fake))  # -log D(x_hat)
+        lam = jnp.where(bpp > cfg.target_rate, cfg.lambda_a, cfg.lambda_b)
+        loss = (
+            lam * bpp
+            + cfg.k_mse * mse
+            + cfg.k_lpips * perceptual
+            + cfg.k_gan * gan_loss
+        )
+        aux = {
+            "bpp": bpp,
+            "mse": mse,
+            "lpips": perceptual,
+            "g_gan": gan_loss,
+            "x_hat": x_hat,
+            "y_hat": y_hat,
+        }
+        return loss, aux
+
+    def d_loss_fn(d_params, d_state, batch, x_hat, y_hat):
+        d_vars = {"params": d_params, **d_state}
+        logits_real, vars_out = disc.apply(
+            d_vars, batch, y_hat, update_stats=True,
+            mutable=["batch_stats"],
+        )
+        logits_fake, vars_out2 = disc.apply(
+            {"params": d_params, **vars_out}, x_hat, y_hat,
+            update_stats=True, mutable=["batch_stats"],
+        )
+        loss = jnp.mean(jax.nn.softplus(-logits_real)) + jnp.mean(
+            jax.nn.softplus(logits_fake)
+        )
+        return loss, vars_out2
+
+    @jax.jit
+    def step(g_params, d_vars, g_opt, d_opt, batch, rng):
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_params, d_vars, batch, rng
+        )
+        g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+
+        d_params = d_vars["params"]
+        d_state = {k: v for k, v in d_vars.items() if k != "params"}
+        x_hat = jax.lax.stop_gradient(aux.pop("x_hat"))
+        y_hat = jax.lax.stop_gradient(aux.pop("y_hat"))
+        (d_loss, new_state), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_params, d_state, batch, x_hat, y_hat)
+        d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+        d_vars = {"params": d_params, **new_state}
+
+        metrics = {"g_loss": g_loss, "d_loss": d_loss, **aux}
+        return g_params, d_vars, g_opt, d_opt, metrics
+
+    return step, g_tx, d_tx
+
+
+# ---------------------------------------------------------------------------
+# Coding (identical two-stream structure to mbt2018; generator as synthesis)
+# ---------------------------------------------------------------------------
+
+
+class Codec:
+    """Jitted transforms + prebuilt CDF tables for a trained model."""
+
+    def __init__(self, model: HificModel, params):
+        self.name = model.config.name
+        hyperprior = model.apply(params, method=HificModel.get_hyperprior)
+        self.side_em = ContinuousBatchedEntropyModel(
+            hyperprior, coding_rank=3, compression=True
+        )
+        self.em = LocationScaleIndexedEntropyModel(
+            NoisyNormal, coding_rank=3, compression=True
+        )
+        self._encode = jax.jit(
+            lambda x: model.apply(params, x, method=HificModel.encode_latents)
+        )
+        self._params = jax.jit(
+            lambda z: model.apply(
+                params, z, method=HificModel.params_from_zhat
+            )
+        )
+        self._generate = jax.jit(
+            lambda y: jnp.clip(
+                jnp.round(
+                    model.apply(params, y, method=HificModel.generate) * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+
+    def compress(self, image: np.ndarray) -> bytes:
+        x = jnp.asarray(image, jnp.float32)[None] / 255.0
+        x, (h, w) = image_util.pad_to_multiple(x, 64)
+        y, z = self._encode(x)
+        z_strings = self.side_em.compress(z)
+        z_hat = self.side_em.decompress(z_strings, z.shape[1:3])
+        mu, sigma = self._params(z_hat)
+        y_strings = self.em.compress(y, sigma, loc=mu)
+        packed = PackedTensors()
+        packed.model = self.name
+        packed.pack(
+            [
+                y_strings[0],
+                z_strings[0],
+                np.array([h, w], np.int32),
+                np.array(z.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        packed = PackedTensors(data)
+        y_string, z_string, xshape, zshape = packed.unpack(
+            [object, object, np.int32, np.int32]
+        )
+        z_hat = self.side_em.decompress(
+            [bytes(z_string[0])], tuple(int(v) for v in zshape)
+        )
+        mu, sigma = self._params(z_hat)
+        y_hat = self.em.decompress([bytes(y_string[0])], sigma, loc=mu)
+        x_hat = self._generate(y_hat)
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
+        return np.asarray(jax.device_get(x_hat), np.uint8)
+
+
+def make_codec(model: HificModel, params) -> Codec:
+    from compression_tpu.models.codec_cache import cached
+
+    return cached(params, lambda: Codec(model, params))
+
+
+def compress(model: HificModel, params, image: np.ndarray) -> bytes:
+    return make_codec(model, params).compress(image)
+
+
+def decompress(model: HificModel, params, data: bytes) -> np.ndarray:
+    return make_codec(model, params).decompress(data)

@@ -1,0 +1,68 @@
+"""HiFiC training driver (reference: models/hific/train.py).
+
+Joint G/D optimization in one jitted step; synthetic-data smoke mode when
+no dataset glob is given (same contract as the other model scripts).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from compression_tpu.models import common
+from compression_tpu.models.hific import archs
+from compression_tpu.models.hific.configs import HificConfig, get_config
+from compression_tpu.models.hific.lpips import make_lpips
+from compression_tpu.models.hific.model import HificModel, make_train_steps
+
+__all__ = ["train"]
+
+
+def train(cfg: HificConfig, train_cfg: common.TrainConfig):
+    model = HificModel(cfg)
+    disc = archs.Discriminator()
+    lpips_model, lpips_params = make_lpips(train_cfg.patch_size)
+
+    data = common.crop_dataset(train_cfg)
+    batch0 = jnp.asarray(next(data))
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    rng, g_rng, d_rng = jax.random.split(rng, 3)
+    g_params = model.init(g_rng, batch0, jax.random.PRNGKey(1), training=True)
+    x_hat0, y_hat0, _ = model.apply(
+        g_params, batch0, jax.random.PRNGKey(2), training=True
+    )
+    d_vars = disc.init(d_rng, batch0, y_hat0, update_stats=False)
+
+    step_fn, g_tx, d_tx = make_train_steps(
+        model, disc, lpips_model, lpips_params, cfg
+    )
+    g_opt = g_tx.init(g_params)
+    d_opt = d_tx.init(d_vars["params"])
+
+    t0 = time.time()
+    for step in range(1, train_cfg.steps + 1):
+        rng, step_rng = jax.random.split(rng)
+        batch = jnp.asarray(next(data))
+        g_params, d_vars, g_opt, d_opt, metrics = step_fn(
+            g_params, d_vars, g_opt, d_opt, batch, step_rng
+        )
+        if step % train_cfg.log_every == 0 or step == train_cfg.steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = step * train_cfg.batch_size / (time.time() - t0)
+            print(
+                f"step {step}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                + f" ({rate:.1f} img/s)"
+            )
+        if train_cfg.checkpoint_dir and (
+            step % train_cfg.checkpoint_every == 0 or step == train_cfg.steps
+        ):
+            common.save_checkpoint(
+                os.path.join(train_cfg.checkpoint_dir, f"{cfg.name}.msgpack"),
+                g_params,
+                step,
+            )
+    return model, g_params, d_vars

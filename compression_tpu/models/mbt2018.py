@@ -1,0 +1,245 @@
+"""mbt2018: mean-scale hyperprior codec.
+
+TPU-native implementation of the *mean-scale* (non-autoregressive) variant
+of Minnen, Ballé, Toderici 2018 ("Joint autoregressive and hierarchical
+priors for learned image compression"). The reference ships this family
+only as pretrained `tfci` models (`mbt2018-mean-*`; SURVEY.md §2.3 M3) —
+mechanically it is bmshj2018 with (a) the hyper-analysis reading y itself
+rather than |y| and (b) the hyper-synthesis predicting both mu and sigma,
+with y coded as `LocationScale(loc=mu, scale=sigma)`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.entropy_models import (
+    ContinuousBatchedEntropyModel,
+    LocationScaleIndexedEntropyModel,
+    SCALES_MIN,
+)
+from compression_tpu.distributions.uniform_noise import NoisyNormal
+from compression_tpu.layers import GDN, SignalConv2D
+from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.models import common
+from compression_tpu.models.bmshj2018 import (
+    AnalysisTransform,
+    SynthesisTransform,
+)
+from compression_tpu.util import PackedTensors
+from compression_tpu.util import image as image_util
+
+__all__ = ["MBT2018Model", "Config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    lmbda: float = 0.01
+    num_filters: int = 192
+    num_latents: int = 320
+    num_hyperlatents: int = 192
+    model_name: str = "mbt2018-mean"
+    downscale: int = 64
+
+
+class HyperAnalysisTransform(nn.Module):
+    """y -> z (signed input; mean prediction needs sign information)."""
+
+    num_filters: int
+    num_hyperlatents: int
+
+    @nn.compact
+    def __call__(self, y):
+        z = SignalConv2D(
+            self.num_filters, (3, 3), corr=True, padding="same_zeros",
+            use_bias=True, activation=nn.relu, name="conv0",
+        )(y)
+        z = SignalConv2D(
+            self.num_filters, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv1",
+        )(z)
+        return SignalConv2D(
+            self.num_hyperlatents, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=False, name="conv2",
+        )(z)
+
+
+class HyperSynthesisTransform(nn.Module):
+    """z_hat -> (mu, sigma), each with num_latents channels."""
+
+    num_filters: int
+    num_latents: int
+
+    @nn.compact
+    def __call__(self, z):
+        z = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv0",
+        )(z)
+        z = SignalConv2D(
+            self.num_filters * 3 // 2, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv1",
+        )(z)
+        out = SignalConv2D(
+            2 * self.num_latents, (3, 3), corr=True, padding="same_zeros",
+            use_bias=True, name="conv2",
+        )(z)
+        mu, sigma = jnp.split(out, 2, axis=-1)
+        return mu, jnp.maximum(sigma, SCALES_MIN)
+
+
+class MBT2018Model(nn.Module):
+    config: Config = Config()
+
+    def setup(self):
+        cfg = self.config
+        self.analysis = AnalysisTransform(cfg.num_filters, cfg.num_latents)
+        self.synthesis = SynthesisTransform(cfg.num_filters)
+        self.hyper_analysis = HyperAnalysisTransform(
+            cfg.num_filters, cfg.num_hyperlatents
+        )
+        self.hyper_synthesis = HyperSynthesisTransform(
+            cfg.num_filters, cfg.num_latents
+        )
+        self.hyperprior = DeepFactorizedPrior(
+            batch_shape=(cfg.num_hyperlatents,)
+        )
+
+    def __call__(self, x, rng, training: bool = True):
+        rng_y, rng_z = jax.random.split(rng)
+        y = self.analysis(x)
+        z = self.hyper_analysis(y)
+        side_em = ContinuousBatchedEntropyModel(self.hyperprior(), coding_rank=3)
+        z_tilde, z_bits = side_em(z, rng=rng_z, training=training)
+        mu, sigma = self.hyper_synthesis(z_tilde)
+        em = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
+        y_tilde, y_bits = em(y, sigma, loc=mu, rng=rng_y, training=training)
+        x_hat = self.synthesis(y_tilde)
+        return x_hat, y_bits, z_bits
+
+    def encode_latents(self, x):
+        y = self.analysis(x)
+        z = self.hyper_analysis(y)
+        return y, z
+
+    def params_from_zhat(self, z_hat):
+        return self.hyper_synthesis(z_hat)
+
+    def synthesize(self, y_hat):
+        return self.synthesis(y_hat)
+
+    def get_hyperprior(self):
+        return self.hyperprior()
+
+
+def make_loss_fn(model: MBT2018Model):
+    cfg = model.config
+
+    def loss_fn(params, batch, rng):
+        x = batch
+        x_hat, y_bits, z_bits = model.apply(params, x, rng, training=True)
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp = (jnp.mean(y_bits) + jnp.mean(z_bits)) / num_pixels
+        mse = jnp.mean(jnp.square(x - x_hat)) * (255.0**2)
+        return bpp + cfg.lmbda * mse, {"bpp": bpp, "mse": mse}
+
+    return loss_fn
+
+
+def train(cfg: Config, train_cfg: common.TrainConfig, params=None):
+    model = MBT2018Model(cfg)
+
+    def init_fn(rng, batch):
+        return model.init(rng, batch, jax.random.PRNGKey(0), training=True)
+
+    return model, common.train_model(
+        init_fn, make_loss_fn(model), train_cfg, params=params
+    )
+
+
+class Codec:
+    """Jitted transforms + prebuilt CDF tables for a trained model."""
+
+    def __init__(self, model: MBT2018Model, params):
+        self.cfg = model.config
+        hyperprior = model.apply(params, method=MBT2018Model.get_hyperprior)
+        self.side_em = ContinuousBatchedEntropyModel(
+            hyperprior, coding_rank=3, compression=True
+        )
+        self.em = LocationScaleIndexedEntropyModel(
+            NoisyNormal, coding_rank=3, compression=True
+        )
+        self._encode = jax.jit(
+            lambda x: model.apply(params, x, method=MBT2018Model.encode_latents)
+        )
+        self._params = jax.jit(
+            lambda z: model.apply(
+                params, z, method=MBT2018Model.params_from_zhat
+            )
+        )
+        self._synthesize = jax.jit(
+            lambda y: jnp.clip(
+                jnp.round(
+                    model.apply(params, y, method=MBT2018Model.synthesize)
+                    * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+
+    def compress(self, image: np.ndarray) -> bytes:
+        x = jnp.asarray(image, jnp.float32)[None] / 255.0
+        x, (h, w) = image_util.pad_to_multiple(x, self.cfg.downscale)
+        y, z = self._encode(x)
+        z_strings = self.side_em.compress(z)
+        z_hat = self.side_em.decompress(z_strings, z.shape[1:3])
+        mu, sigma = self._params(z_hat)
+        y_strings = self.em.compress(y, sigma, loc=mu)
+        packed = PackedTensors()
+        packed.model = self.cfg.model_name
+        packed.pack(
+            [
+                y_strings[0],
+                z_strings[0],
+                np.array([h, w], np.int32),
+                np.array(z.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        packed = PackedTensors(data)
+        y_string, z_string, xshape, zshape = packed.unpack(
+            [object, object, np.int32, np.int32]
+        )
+        z_hat = self.side_em.decompress(
+            [bytes(z_string[0])], tuple(int(v) for v in zshape)
+        )
+        mu, sigma = self._params(z_hat)
+        y_hat = self.em.decompress([bytes(y_string[0])], sigma, loc=mu)
+        x_hat = self._synthesize(y_hat)
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
+        return np.asarray(jax.device_get(x_hat), np.uint8)
+
+
+def make_codec(model: MBT2018Model, params) -> Codec:
+    from compression_tpu.models.codec_cache import cached
+
+    return cached(params, lambda: Codec(model, params))
+
+
+def compress(model: MBT2018Model, params, image: np.ndarray) -> bytes:
+    return make_codec(model, params).compress(image)
+
+
+def decompress(model: MBT2018Model, params, data: bytes) -> np.ndarray:
+    return make_codec(model, params).decompress(data)

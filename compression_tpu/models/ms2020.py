@@ -1,0 +1,377 @@
+"""ms2020: channel-wise autoregressive entropy model (CHARM).
+
+TPU-native re-implementation of Minnen & Singh 2020 ("Channel-wise
+autoregressive entropy models for learned image compression",
+arXiv 2007.08739; reference: models/ms2020.py:1-620): the latent y
+(320 channels) is split into 10 slices of 32; each slice's (mu_i, sigma_i)
+are predicted from hyper features plus the *previously decoded* slices, and
+a latent-residual-prediction (LRP) transform reduces the rounding error of
+each decoded slice. Decode is sequential over 10 channel slices — not over
+pixels — so the autoregression costs ~10 serial steps regardless of image
+size (the design point of the paper, and exactly what the slice-pipelined
+decoder in :mod:`compression_tpu.parallel.charm_pipeline` overlaps with
+host-side range decoding).
+
+Training uses the mixed quantization scheme of the paper: rates are
+estimated with additive-noise surrogates, while the autoregressive
+conditioning and the synthesis see straight-through-rounded values (the
+same values the real decoder will see).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.entropy_models import (
+    ContinuousBatchedEntropyModel,
+    LocationScaleIndexedEntropyModel,
+    SCALES_MIN,
+)
+from compression_tpu.distributions.uniform_noise import NoisyNormal
+from compression_tpu.layers import GDN, SignalConv2D
+from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.models import common
+from compression_tpu.models.bmshj2018 import (
+    AnalysisTransform,
+    SynthesisTransform,
+)
+from compression_tpu.ops.round_ops import round_st
+from compression_tpu.util import PackedTensors
+from compression_tpu.util import image as image_util
+
+__all__ = ["MS2020Model", "Config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    lmbda: float = 0.01
+    num_filters: int = 192
+    num_latents: int = 320
+    num_hyperlatents: int = 192
+    num_slices: int = 10
+    model_name: str = "ms2020-cc10"
+    downscale: int = 64
+
+    @property
+    def slice_size(self) -> int:
+        assert self.num_latents % self.num_slices == 0
+        return self.num_latents // self.num_slices
+
+
+class HyperAnalysisTransform(nn.Module):
+    num_filters: int
+    num_hyperlatents: int
+
+    @nn.compact
+    def __call__(self, y):
+        z = SignalConv2D(
+            self.num_filters, (3, 3), corr=True, padding="same_zeros",
+            use_bias=True, activation=nn.relu, name="conv0",
+        )(y)
+        z = SignalConv2D(
+            self.num_filters, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv1",
+        )(z)
+        return SignalConv2D(
+            self.num_hyperlatents, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=False, name="conv2",
+        )(z)
+
+
+class HyperSupportTransform(nn.Module):
+    """z_hat -> a support feature field (one each for means and scales)."""
+
+    num_filters: int
+    num_out: int
+
+    @nn.compact
+    def __call__(self, z):
+        z = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv0",
+        )(z)
+        z = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, activation=nn.relu,
+            name="conv1",
+        )(z)
+        return SignalConv2D(
+            self.num_out, (3, 3), corr=True, padding="same_zeros",
+            use_bias=True, name="conv2",
+        )(z)
+
+
+class SliceTransform(nn.Module):
+    """Per-slice parameter/LRP network: 3x 3x3 convs, narrowing widths."""
+
+    num_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = SignalConv2D(
+            224, (3, 3), corr=True, padding="same_zeros", use_bias=True,
+            activation=nn.relu, name="conv0",
+        )(x)
+        x = SignalConv2D(
+            128, (3, 3), corr=True, padding="same_zeros", use_bias=True,
+            activation=nn.relu, name="conv1",
+        )(x)
+        return SignalConv2D(
+            self.num_out, (3, 3), corr=True, padding="same_zeros",
+            use_bias=True, name="conv2",
+        )(x)
+
+
+class MS2020Model(nn.Module):
+    config: Config = Config()
+
+    def setup(self):
+        cfg = self.config
+        s = cfg.slice_size
+        self.analysis = AnalysisTransform(cfg.num_filters, cfg.num_latents)
+        self.synthesis = SynthesisTransform(cfg.num_filters)
+        self.hyper_analysis = HyperAnalysisTransform(
+            cfg.num_filters, cfg.num_hyperlatents
+        )
+        self.mean_support = HyperSupportTransform(
+            cfg.num_filters, cfg.num_latents, name="mean_support"
+        )
+        self.scale_support = HyperSupportTransform(
+            cfg.num_filters, cfg.num_latents, name="scale_support"
+        )
+        self.mean_transforms = [
+            SliceTransform(s, name=f"mean_t{i}") for i in range(cfg.num_slices)
+        ]
+        self.scale_transforms = [
+            SliceTransform(s, name=f"scale_t{i}") for i in range(cfg.num_slices)
+        ]
+        self.lrp_transforms = [
+            SliceTransform(s, name=f"lrp_t{i}") for i in range(cfg.num_slices)
+        ]
+        self.hyperprior = DeepFactorizedPrior(
+            batch_shape=(cfg.num_hyperlatents,)
+        )
+
+    # -- slice machinery ------------------------------------------------------
+
+    def slice_params(self, i: int, mu_sup, sigma_sup, decoded: List):
+        """(mu_i, sigma_i) from the supports and previously decoded slices."""
+        ctx = jnp.concatenate([mu_sup] + decoded, axis=-1)
+        mu = self.mean_transforms[i](ctx)
+        ctx_s = jnp.concatenate([sigma_sup] + decoded, axis=-1)
+        sigma = jnp.maximum(self.scale_transforms[i](ctx_s), SCALES_MIN)
+        return mu, sigma
+
+    def slice_lrp(self, i: int, mu_sup, decoded_with_current: List):
+        """Latent residual prediction, bounded to half a quantization bin."""
+        ctx = jnp.concatenate([mu_sup] + decoded_with_current, axis=-1)
+        return 0.5 * jnp.tanh(self.lrp_transforms[i](ctx))
+
+    # -- training forward -----------------------------------------------------
+
+    def __call__(self, x, rng, training: bool = True):
+        cfg = self.config
+        s = cfg.slice_size
+        rng_z, rng_y = jax.random.split(rng)
+        y = self.analysis(x)
+        z = self.hyper_analysis(y)
+        side_em = ContinuousBatchedEntropyModel(self.hyperprior(), coding_rank=3)
+        z_tilde, z_bits = side_em(z, rng=rng_z, training=training)
+        mu_sup = self.mean_support(z_tilde)
+        sigma_sup = self.scale_support(z_tilde)
+
+        em = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
+        decoded: List = []
+        y_bits_total = 0.0
+        for i in range(cfg.num_slices):
+            y_i = y[..., i * s : (i + 1) * s]
+            mu, sigma = self.slice_params(i, mu_sup, sigma_sup, decoded)
+            rng_y, rng_i = jax.random.split(rng_y)
+            # Rate: additive-noise surrogate on the centered slice.
+            _, bits_i = em(y_i, sigma, loc=mu, rng=rng_i, training=training)
+            y_bits_total = y_bits_total + bits_i
+            # Conditioning/synthesis path: the decoder's values (STE round).
+            y_hat_i = round_st(y_i - mu) + mu
+            y_hat_i = y_hat_i + self.slice_lrp(i, mu_sup, decoded + [y_hat_i])
+            decoded.append(y_hat_i)
+
+        y_hat = jnp.concatenate(decoded, axis=-1)
+        x_hat = self.synthesis(y_hat)
+        return x_hat, y_bits_total, z_bits
+
+    # -- coding entry points ---------------------------------------------------
+
+    def encode_latents(self, x):
+        y = self.analysis(x)
+        z = self.hyper_analysis(y)
+        return y, z
+
+    def supports_from_zhat(self, z_hat):
+        return self.mean_support(z_hat), self.scale_support(z_hat)
+
+    def synthesize(self, y_hat):
+        return self.synthesis(y_hat)
+
+    def get_hyperprior(self):
+        return self.hyperprior()
+
+
+def make_loss_fn(model: MS2020Model):
+    cfg = model.config
+
+    def loss_fn(params, batch, rng):
+        x = batch
+        x_hat, y_bits, z_bits = model.apply(params, x, rng, training=True)
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp = (jnp.mean(y_bits) + jnp.mean(z_bits)) / num_pixels
+        mse = jnp.mean(jnp.square(x - x_hat)) * (255.0**2)
+        return bpp + cfg.lmbda * mse, {"bpp": bpp, "mse": mse}
+
+    return loss_fn
+
+
+def train(cfg: Config, train_cfg: common.TrainConfig, params=None):
+    model = MS2020Model(cfg)
+
+    def init_fn(rng, batch):
+        return model.init(rng, batch, jax.random.PRNGKey(0), training=True)
+
+    return model, common.train_model(
+        init_fn, make_loss_fn(model), train_cfg, params=params
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coding (the 10-slice serial loop; see SURVEY.md §3.3)
+# ---------------------------------------------------------------------------
+
+
+class Codec:
+    """Jitted per-slice transforms + prebuilt CDF tables.
+
+    Each slice index gets its own compiled function (static index, growing
+    list of decoded slices) — 10 small compiles, reused for every image.
+    """
+
+    def __init__(self, model: MS2020Model, params):
+        self.cfg = model.config
+        hyperprior = model.apply(params, method=MS2020Model.get_hyperprior)
+        self.side_em = ContinuousBatchedEntropyModel(
+            hyperprior, coding_rank=3, compression=True
+        )
+        self.em = LocationScaleIndexedEntropyModel(
+            NoisyNormal, coding_rank=3, compression=True
+        )
+        self._encode = jax.jit(
+            lambda x: model.apply(params, x, method=MS2020Model.encode_latents)
+        )
+        self._supports = jax.jit(
+            lambda z: model.apply(
+                params, z, method=MS2020Model.supports_from_zhat
+            )
+        )
+        self._slice_params = jax.jit(
+            lambda i, ms, ss, dec: model.apply(
+                params, i, ms, ss, dec, method=MS2020Model.slice_params
+            ),
+            static_argnums=0,
+        )
+        self._slice_lrp = jax.jit(
+            lambda i, ms, dec: model.apply(
+                params, i, ms, dec, method=MS2020Model.slice_lrp
+            ),
+            static_argnums=0,
+        )
+        self._synthesize = jax.jit(
+            lambda y: jnp.clip(
+                jnp.round(
+                    model.apply(params, y, method=MS2020Model.synthesize)
+                    * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+
+    def compress(self, image: np.ndarray) -> bytes:
+        cfg = self.cfg
+        s = cfg.slice_size
+        x = jnp.asarray(image, jnp.float32)[None] / 255.0
+        x, (h, w) = image_util.pad_to_multiple(x, cfg.downscale)
+        y, z = self._encode(x)
+        z_strings = self.side_em.compress(z)
+        z_hat = self.side_em.decompress(z_strings, z.shape[1:3])
+        mu_sup, sigma_sup = self._supports(z_hat)
+
+        decoded: List = []
+        slice_strings: List[bytes] = []
+        for i in range(cfg.num_slices):
+            y_i = y[..., i * s : (i + 1) * s]
+            mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
+            strings = self.em.compress(y_i, sigma, loc=mu)
+            slice_strings.append(strings[0])
+            y_hat_i = self.em.decompress(strings, sigma, loc=mu)
+            lrp = self._slice_lrp(i, mu_sup, decoded + [y_hat_i])
+            decoded.append(y_hat_i + lrp)
+
+        packed = PackedTensors()
+        packed.model = cfg.model_name
+        packed.pack(
+            slice_strings
+            + [
+                z_strings[0],
+                np.array([h, w], np.int32),
+                np.array(z.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        cfg = self.cfg
+        packed = PackedTensors(data)
+        fields = packed.unpack(
+            [object] * cfg.num_slices + [object, np.int32, np.int32]
+        )
+        slice_strings = [bytes(f[0]) for f in fields[: cfg.num_slices]]
+        z_string = bytes(fields[cfg.num_slices][0])
+        xshape = fields[cfg.num_slices + 1]
+        zshape = fields[cfg.num_slices + 2]
+
+        z_hat = self.side_em.decompress(
+            [z_string], tuple(int(v) for v in zshape)
+        )
+        mu_sup, sigma_sup = self._supports(z_hat)
+
+        decoded: List = []
+        for i in range(cfg.num_slices):
+            mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
+            y_hat_i = self.em.decompress([slice_strings[i]], sigma, loc=mu)
+            lrp = self._slice_lrp(i, mu_sup, decoded + [y_hat_i])
+            decoded.append(y_hat_i + lrp)
+
+        y_hat = jnp.concatenate(decoded, axis=-1)
+        x_hat = self._synthesize(y_hat)
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
+        return np.asarray(jax.device_get(x_hat), np.uint8)
+
+
+def make_codec(model: MS2020Model, params) -> Codec:
+    from compression_tpu.models.codec_cache import cached
+
+    return cached(params, lambda: Codec(model, params))
+
+
+def compress(model: MS2020Model, params, image: np.ndarray) -> bytes:
+    return make_codec(model, params).compress(image)
+
+
+def decompress(model: MS2020Model, params, data: bytes) -> np.ndarray:
+    return make_codec(model, params).decompress(data)

@@ -1,0 +1,145 @@
+"""Image IO and quality metrics (PSNR, MS-SSIM).
+
+The reference relies on TF ops for PNG IO and `tf.image.ssim_multiscale`
+for evaluation (reference: models/bmshj2018.py eval path); here IO goes
+through PIL (host side) and the metrics are pure JAX, jit/vmap-able, so a
+whole eval batch runs in one compiled call on the TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "read_png",
+    "write_png",
+    "pad_to_multiple",
+    "unpad",
+    "psnr",
+    "ssim",
+    "msssim",
+]
+
+
+def read_png(path) -> np.ndarray:
+    """Reads an image file to uint8 (H, W, 3)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, np.uint8)
+
+
+def write_png(path, image: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(np.asarray(image, np.uint8)).save(path)
+
+
+def pad_to_multiple(x, multiple: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Pads spatial dims (axes -3, -2) up to a multiple; returns (x, (H, W))."""
+    h, w = x.shape[-3], x.shape[-2]
+    hp = -h % multiple
+    wp = -w % multiple
+    pad = [(0, 0)] * x.ndim
+    pad[-3] = (0, hp)
+    pad[-2] = (0, wp)
+    return jnp.pad(x, pad, mode="edge"), (h, w)
+
+
+def unpad(x, shape: Sequence[int]):
+    h, w = shape
+    return x[..., :h, :w, :]
+
+
+def psnr(a, b, max_val: float = 255.0):
+    """PSNR over the trailing (H, W, C) dims."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    mse = jnp.mean(jnp.square(a - b), axis=(-3, -2, -1))
+    return 10.0 * jnp.log10(max_val**2 / mse)
+
+
+def _fspecial_gauss(size: int, sigma: float):
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    return g
+
+
+def _filter2(x, win):
+    """Separable 2-D blur, valid padding; x: (N, H, W, C)."""
+    c = x.shape[-1]
+    k = win.shape[0]
+    kernel_h = jnp.tile(win.reshape(k, 1, 1, 1), (1, 1, 1, c))
+    kernel_w = jnp.tile(win.reshape(1, k, 1, 1), (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, c), ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(
+        x, kernel_h, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=c,
+    )
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, k, 1, c), ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, kernel_w, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=c,
+    )
+
+
+def _ssim_per_scale(a, b, max_val, filter_size=11, filter_sigma=1.5,
+                    k1=0.01, k2=0.03):
+    win = _fspecial_gauss(filter_size, filter_sigma)
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    mu_a = _filter2(a, win)
+    mu_b = _filter2(b, win)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    sigma_aa = _filter2(a * a, win) - mu_aa
+    sigma_bb = _filter2(b * b, win) - mu_bb
+    sigma_ab = _filter2(a * b, win) - mu_ab
+    cs = (2 * sigma_ab + c2) / (sigma_aa + sigma_bb + c2)
+    lum = (2 * mu_ab + c1) / (mu_aa + mu_bb + c1)
+    return jnp.mean(lum * cs, axis=(1, 2, 3)), jnp.mean(cs, axis=(1, 2, 3))
+
+
+def ssim(a, b, max_val: float = 255.0):
+    """Single-scale SSIM; inputs (N, H, W, C) or (H, W, C)."""
+    a, b, squeeze = _as_batch(a), _as_batch(b), jnp.ndim(a) == 3
+    s, _ = _ssim_per_scale(a, b, max_val)
+    return s[0] if squeeze else s
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _as_batch(x):
+    x = jnp.asarray(x, jnp.float32)
+    return x[None] if x.ndim == 3 else x
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+    ) / 4.0
+
+
+@functools.partial(jax.jit, static_argnames=("max_val",))
+def msssim(a, b, max_val: float = 255.0):
+    """Multi-scale SSIM (Wang et al. 2003), matching the standard 5-level
+    weights used by the reference's eval (`tf.image.ssim_multiscale`)."""
+    squeeze = jnp.ndim(a) == 3
+    a, b = _as_batch(a), _as_batch(b)
+    values = []
+    last = len(_MSSSIM_WEIGHTS) - 1
+    for i, w in enumerate(_MSSSIM_WEIGHTS):
+        s, cs = _ssim_per_scale(a, b, max_val)
+        v = s if i == last else cs
+        values.append(jnp.maximum(v, 0.0) ** w)
+        if i < last:
+            a = _avg_pool2(a)
+            b = _avg_pool2(b)
+    out = jnp.prod(jnp.stack(values, 0), axis=0)
+    return out[0] if squeeze else out

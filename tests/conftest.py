@@ -9,7 +9,10 @@ driver's dryrun.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may point JAX at a (slow, tunneled) TPU
+# via JAX_PLATFORMS=axon; unit tests are correctness tests and run on the
+# virtual 8-device CPU mesh. Set TPC_TEST_PLATFORM to override.
+os.environ["JAX_PLATFORMS"] = os.environ.get("TPC_TEST_PLATFORM", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,4 +23,8 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "float32")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# JAX_PLATFORMS; the config update below wins as long as no backend has been
+# initialized yet (conftest runs before any test imports).
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)

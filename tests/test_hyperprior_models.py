@@ -1,0 +1,95 @@
+"""bmshj2018 + mbt2018: forward, gradients, and coding round trips."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from compression_tpu.models import bmshj2018, mbt2018
+
+
+def _tiny_bmshj():
+    return bmshj2018.Config(num_filters=8, num_latents=8, num_hyperlatents=4)
+
+
+def _tiny_mbt():
+    return mbt2018.Config(num_filters=8, num_latents=8, num_hyperlatents=4)
+
+
+class TestBMSHJ2018:
+    def test_forward_and_grads(self):
+        model = bmshj2018.BMSHJ2018Model(_tiny_bmshj())
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), training=True
+        )
+        loss_fn = bmshj2018.make_loss_fn(model)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, jax.random.PRNGKey(2)
+        )
+        assert np.isfinite(float(loss)) and float(metrics["bpp"]) > 0
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        # Hyper-synthesis must receive gradient through the y rate term.
+        hs = jax.tree_util.tree_leaves(grads["params"]["hyper_synthesis"])
+        assert any(np.any(np.asarray(g) != 0) for g in hs)
+
+    def test_roundtrip(self):
+        model = bmshj2018.BMSHJ2018Model(_tiny_bmshj())
+        x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+        )
+        image = (np.random.RandomState(1).rand(70, 91, 3) * 255).astype(
+            np.uint8
+        )
+        data = bmshj2018.compress(model, params, image)
+        out = bmshj2018.decompress(model, params, data)
+        assert out.shape == image.shape and out.dtype == np.uint8
+        assert data == bmshj2018.compress(model, params, image)
+
+
+class TestMBT2018:
+    def test_forward_and_grads(self):
+        model = mbt2018.MBT2018Model(_tiny_mbt())
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), training=True
+        )
+        loss_fn = mbt2018.make_loss_fn(model)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, jax.random.PRNGKey(2)
+        )
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+
+    def test_roundtrip_with_mean(self):
+        model = mbt2018.MBT2018Model(_tiny_mbt())
+        x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+        )
+        image = (np.random.RandomState(2).rand(64, 64, 3) * 255).astype(
+            np.uint8
+        )
+        data = mbt2018.compress(model, params, image)
+        out = mbt2018.decompress(model, params, data)
+        assert out.shape == image.shape
+        assert data == mbt2018.compress(model, params, image)
+
+
+def test_metrics_psnr_msssim():
+    from compression_tpu.util import image as im
+
+    a = np.random.RandomState(3).rand(1, 128, 128, 3) * 255
+    assert float(im.psnr(a, a)[0]) > 80
+    m = im.msssim(jnp.asarray(a, jnp.float32), jnp.asarray(a, jnp.float32))
+    assert float(m[0]) == pytest.approx(1.0, abs=1e-5)
+    noisy = a + np.random.RandomState(4).randn(*a.shape) * 10
+    assert float(im.psnr(a, noisy)[0]) < 35
+    assert float(im.msssim(jnp.asarray(a, jnp.float32), jnp.asarray(noisy, jnp.float32))[0]) < 1.0

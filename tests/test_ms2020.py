@@ -1,0 +1,45 @@
+"""ms2020 CHARM: forward, gradients, and the 10-slice serial round trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from compression_tpu.models import ms2020
+
+
+def _tiny_cfg():
+    return ms2020.Config(
+        num_filters=8, num_latents=8, num_hyperlatents=4, num_slices=4
+    )
+
+
+def test_forward_and_grads():
+    model = ms2020.MS2020Model(_tiny_cfg())
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), training=True
+    )
+    loss_fn = ms2020.make_loss_fn(model)
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, x, jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(loss)) and float(metrics["bpp"]) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # Slice transforms participate (autoregressive conditioning is live).
+    st = jax.tree_util.tree_leaves(grads["params"]["mean_t1"])
+    assert any(np.any(np.asarray(g) != 0) for g in st)
+
+
+def test_roundtrip_serial_slices():
+    model = ms2020.MS2020Model(_tiny_cfg())
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    image = (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
+    data = ms2020.compress(model, params, image)
+    out = ms2020.decompress(model, params, data)
+    assert out.shape == image.shape and out.dtype == np.uint8
+    # Deterministic: encoder-side reconstruction == decoder-side.
+    assert data == ms2020.compress(model, params, image)
