@@ -24,7 +24,16 @@ BASELINE_IMG_PER_S = 1.0
 
 
 def main():
+    import os
+
     import jax
+
+    from compression_tpu.util.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    # Persist range-coder tables across bench runs (pure function of the
+    # fixed-seed params used below).
+    os.environ.setdefault("TPC_TABLE_CACHE_FILE", "/tmp/tpc_bench_tables.npz")
 
     from compression_tpu.models import bmshj2018
 
@@ -37,18 +46,24 @@ def main():
         jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
     )
 
-    # Warmup (compiles transforms; builds CDF tables once).
-    data = bmshj2018.compress(model, params, image)
-    out = bmshj2018.decompress(model, params, data)
-    assert out.shape == image.shape
+    # Batched serving path: N images per device dispatch, native coder
+    # fanning streams across host threads.
+    batch = 8
+    images = np.stack([image] * batch)
+    codec = bmshj2018.make_codec(model, params)
 
-    n = 8
+    # Warmup (compiles transforms; builds CDF tables once).
+    blobs = codec.compress_batch(images)
+    out = codec.decompress_batch(blobs)
+    assert out.shape == images.shape
+
+    rounds = 4
     t0 = time.perf_counter()
-    for i in range(n):
-        data = bmshj2018.compress(model, params, image)
-        out = bmshj2018.decompress(model, params, data)
+    for _ in range(rounds):
+        blobs = codec.compress_batch(images)
+        out = codec.decompress_batch(blobs)
     dt = time.perf_counter() - t0
-    img_per_s = n / dt
+    img_per_s = rounds * batch / dt
 
     print(
         json.dumps(

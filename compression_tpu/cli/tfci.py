@@ -48,6 +48,13 @@ def _load_model(name: str, allow_random: bool = False):
         from compression_tpu.models.common import load_checkpoint
 
         params, _ = load_checkpoint(ckpt, params)
+        # Persist range-coder tables next to the checkpoint (keyed by its
+        # mtime/size so retraining invalidates them).
+        st = os.stat(ckpt)
+        os.environ.setdefault(
+            "TPC_TABLE_CACHE_FILE",
+            f"{ckpt}.{st.st_mtime_ns}.{st.st_size}.tables.npz",
+        )
     return entry, model, params
 
 
@@ -127,7 +134,53 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """R-D evaluation over an image glob: per-image bpp / PSNR / MS-SSIM +
+    means (the role of the reference's results/ tables and eval scripts)."""
+    import glob as globlib
+
+    import jax.numpy as jnp
+
+    entry, model, params = _load_model(args.model, args.allow_random)
+    paths = sorted(globlib.glob(args.glob))
+    if not paths:
+        raise FileNotFoundError(f"no images match {args.glob!r}")
+    rows = []
+    for path in paths:
+        image = image_util.read_png(path)
+        data = entry.compress(model, params, image)
+        recon = entry.decompress(model, params, data)
+        bpp = len(data) * 8 / (image.shape[0] * image.shape[1])
+        psnr = float(
+            image_util.psnr(
+                image.astype(np.float32), recon.astype(np.float32)
+            )
+        )
+        ms = float(
+            image_util.msssim(
+                jnp.asarray(image, jnp.float32), jnp.asarray(recon, jnp.float32)
+            )
+        )
+        rows.append((os.path.basename(path), bpp, psnr, ms))
+        print(f"{rows[-1][0]:24s} bpp={bpp:.4f} psnr={psnr:.2f} msssim={ms:.4f}")
+    mean = np.mean(np.array([(r[1], r[2], r[3]) for r in rows]), axis=0)
+    print(
+        f"{'MEAN':24s} bpp={mean[0]:.4f} psnr={mean[1]:.2f} msssim={mean[2]:.4f}"
+    )
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write("image,bpp,psnr,msssim\n")
+            for name, bpp, psnr, ms in rows:
+                f.write(f"{name},{bpp:.6f},{psnr:.4f},{ms:.6f}\n")
+            f.write(f"mean,{mean[0]:.6f},{mean[1]:.4f},{mean[2]:.6f}\n")
+        print(f"wrote {args.csv}")
+    return 0
+
+
 def main(argv=None) -> int:
+    from compression_tpu.util.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="tfci", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -150,6 +203,13 @@ def main(argv=None) -> int:
     sp = sub.add_parser("dump", help="inspect a .tfci container")
     sp.add_argument("input")
     sp.set_defaults(fn=cmd_dump)
+
+    sp = sub.add_parser("eval", help="R-D evaluation over an image glob")
+    sp.add_argument("model")
+    sp.add_argument("glob")
+    sp.add_argument("--csv", default=None)
+    sp.add_argument("--allow-random", action="store_true")
+    sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("train", help="train a model into the local registry")
     sp.add_argument("model")

@@ -51,6 +51,13 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
+        override = os.environ.get("TPC_CODEC_SO_PATH")
+        if override:
+            # Sanitized/instrumented builds (codec/cc/check_sanitized.sh).
+            lib = ctypes.CDLL(override)
+            _declare(lib)
+            _lib = lib
+            return _lib
         build_dir = _CC_DIR / "build"
         build_dir.mkdir(exist_ok=True)
         so_path = build_dir / f"libtpc_codec_{_source_hash()}.so"

@@ -70,6 +70,38 @@ class CdfTables:
         return self.cdf.shape[0]
 
 
+def save_tables(path: str, tables: dict) -> None:
+    """Saves a dict of named CdfTables to one .npz (atomic rename)."""
+    import os
+
+    arrays = {}
+    for name, t in tables.items():
+        arrays[f"{name}.cdf"] = t.cdf
+        arrays[f"{name}.cdf_length"] = t.cdf_length
+        arrays[f"{name}.cdf_offset"] = t.cdf_offset
+        arrays[f"{name}.offset"] = t.offset
+        arrays[f"{name}.precision"] = np.asarray(t.precision)
+    tmp = f"{path}.tmp{os.getpid()}"
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_tables(path: str) -> dict:
+    """Inverse of :func:`save_tables`."""
+    data = np.load(path)
+    names = sorted({k.split(".")[0] for k in data.files})
+    out = {}
+    for name in names:
+        out[name] = CdfTables(
+            cdf=data[f"{name}.cdf"],
+            cdf_length=data[f"{name}.cdf_length"],
+            cdf_offset=data[f"{name}.cdf_offset"],
+            offset=data[f"{name}.offset"],
+            precision=int(data[f"{name}.precision"]),
+        )
+    return out
+
+
 class ContinuousEntropyModelBase:
     """Shared machinery for the continuous entropy models.
 
@@ -96,6 +128,7 @@ class ContinuousEntropyModelBase:
         range_coder_precision: int = 12,
         laplace_tail_mass: float = 0.0,
         offset_heuristic: bool = True,
+        tables: Optional[CdfTables] = None,
     ):
         self.prior = prior
         self.coding_rank = int(coding_rank)
@@ -103,8 +136,8 @@ class ContinuousEntropyModelBase:
         self.range_coder_precision = int(range_coder_precision)
         self.laplace_tail_mass = float(laplace_tail_mass)
         self.offset_heuristic = bool(offset_heuristic)
-        self.tables: Optional[CdfTables] = None
-        if compression:
+        self.tables: Optional[CdfTables] = tables
+        if compression and self.tables is None:
             self.tables = self.build_tables()
 
     # -- training-side helpers ----------------------------------------------
@@ -165,11 +198,23 @@ class ContinuousEntropyModelBase:
 
     def build_tables(self, prior=None) -> CdfTables:
         """Builds integer CDF tables from the (concrete) prior, in float64."""
+        prior = self.prior if prior is None else prior
+        # default_device alone is not enough: computations follow their
+        # operands, and the prior's arrays usually live on the accelerator.
+        # Move them to host CPU first so the tail search / PMF evaluation
+        # compiles and runs locally (the accelerator-side compile of the
+        # root-finder loop costs minutes over a tunneled TPU).
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            prior = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, cpu), prior
+            )
+        except RuntimeError:
+            pass
         with self._host_cpu():
             return self._build_tables_impl(prior)
 
-    def _build_tables_impl(self, prior=None) -> CdfTables:
-        prior = self.prior if prior is None else prior
+    def _build_tables_impl(self, prior) -> CdfTables:
         offset = self._table_offsets(prior)
         lo = np.asarray(
             jax.device_get(helpers.lower_tail(prior, self.tail_mass)), np.float64

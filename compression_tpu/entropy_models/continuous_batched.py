@@ -93,16 +93,33 @@ class ContinuousBatchedEntropyModel(ContinuousEntropyModelBase):
         jitted op) and coded by the native library in one batched call.
         """
         tables = self._require_tables()
-        batch, unit = self._split_shapes(y.shape)
+        _, unit = self._split_shapes(y.shape)
         offset = jnp.asarray(
             tables.offset.reshape(self.prior_batch_shape), y.dtype
         )
         symbols = jax.device_get(
             jnp.round(jnp.asarray(y) - offset).astype(jnp.int32)
         ).reshape((-1,) + unit)
+        return self.compress_symbols(symbols)
+
+    def symbol_offset(self, dtype=jnp.float32):
+        """The quantization-grid offset, for computing symbols on device:
+        ``symbols = round(y - offset)``; ``y_hat = symbols + offset``."""
+        tables = self._require_tables()
+        return jnp.asarray(
+            tables.offset.reshape(self.prior_batch_shape), dtype
+        )
+
+    def compress_symbols(self, symbols: np.ndarray) -> List[bytes]:
+        """Host-only fast path: code precomputed int32 symbols
+        (``round(y - symbol_offset())``, already fetched to host)."""
+        tables = self._require_tables()
+        symbols = np.asarray(symbols, np.int32)
+        _, unit = self._split_shapes(symbols.shape)
+        symbols = symbols.reshape((-1,) + unit)
         indexes = self._flat_indexes(unit)
         n = symbols.shape[0]
-        strings = codec.entropy_encode(
+        return codec.entropy_encode(
             symbols.reshape(n, -1),
             np.broadcast_to(indexes, (n, indexes.size)),
             tables.cdf,
@@ -110,7 +127,6 @@ class ContinuousBatchedEntropyModel(ContinuousEntropyModelBase):
             tables.cdf_offset,
             tables.precision,
         )
-        return strings
 
     def decompress(self, strings: List[bytes], broadcast_shape: Sequence[int]):
         """Inverse of :meth:`compress`.

@@ -85,6 +85,7 @@ class ContinuousIndexedEntropyModel(ContinuousEntropyModelBase):
         tail_mass: float = 2.0 ** -8,
         range_coder_precision: int = 12,
         laplace_tail_mass: float = 0.0,
+        tables=None,
     ):
         self.prior_fn = prior_fn
         self.index_ranges = tuple(int(r) for r in index_ranges)
@@ -110,7 +111,9 @@ class ContinuousIndexedEntropyModel(ContinuousEntropyModelBase):
         )
         # coding_rank semantics differ from the batched model: the prior here
         # is per-element, so no trailing-shape match is required.
-        if compression:
+        if tables is not None:
+            self.tables = tables
+        elif compression:
             self.tables = self.build_tables()
 
     # -- prior construction ---------------------------------------------------
@@ -167,28 +170,58 @@ class ContinuousIndexedEntropyModel(ContinuousEntropyModelBase):
         return shape[: len(shape) - self.coding_rank], shape[len(shape) - self.coding_rank :]
 
     def compress(self, y, indexes) -> List[bytes]:
-        tables = self._require_tables()
-        batch, unit = self._batch_split(jnp.shape(y))
+        batch, _ = self._batch_split(jnp.shape(y))
         n = int(np.prod(batch)) if batch else 1
         symbols = np.asarray(
             jax.device_get(jnp.round(jnp.asarray(y)).astype(jnp.int32))
         ).reshape(n, -1)
         flat_idx = self._flat_int_indexes(indexes).reshape(n, -1)
+        return self.compress_symbols(symbols, flat_idx)
+
+    def device_indexes(self, indexes):
+        """Rounds+flattens continuous indexes on device (int32), matching
+        `_flat_int_indexes` — compute this inside a jitted encoder and ship
+        int32 to the host instead of float parameter fields."""
+        idx = jnp.round(self._normalize_indexes(indexes)).astype(jnp.int32)
+        if len(self.index_ranges) == 1:
+            return idx
+        strides = np.cumprod((self.index_ranges + (1,))[::-1])[::-1][1:]
+        return jnp.sum(
+            idx * jnp.asarray(strides, jnp.int32), axis=-1
+        ).astype(jnp.int32)
+
+    def compress_symbols(self, symbols: np.ndarray, flat_indexes: np.ndarray) -> List[bytes]:
+        """Host-only fast path over precomputed int32 symbols + flat CDF rows."""
+        tables = self._require_tables()
+        symbols = np.asarray(symbols, np.int32)
+        n = symbols.shape[0] if symbols.ndim > 1 else 1
         return codec.entropy_encode(
-            symbols, flat_idx, tables.cdf, tables.cdf_length,
+            symbols.reshape(n, -1),
+            np.asarray(flat_indexes, np.int32).reshape(n, -1),
+            tables.cdf, tables.cdf_length,
             tables.cdf_offset, tables.precision,
         )
 
     def decompress(self, strings: List[bytes], indexes):
-        tables = self._require_tables()
         flat_idx = self._flat_int_indexes(indexes)
-        idx_shape = flat_idx.shape
+        return self.decompress_rows(strings, flat_idx, flat_idx.shape)
+
+    def decode_symbols(self, strings: List[bytes], flat_rows) -> np.ndarray:
+        """Host-only decode to raw int32 values against precomputed rows."""
+        tables = self._require_tables()
+        flat_rows = np.asarray(flat_rows, np.int32)
         n = len(strings)
-        values = codec.entropy_decode(
-            strings, flat_idx.reshape(n, -1), tables.cdf, tables.cdf_length,
+        return codec.entropy_decode(
+            strings, flat_rows.reshape(n, -1), tables.cdf, tables.cdf_length,
             tables.cdf_offset, tables.precision,
         )
-        return jnp.asarray(values.reshape(idx_shape).astype(np.float32))
+
+    def decompress_rows(self, strings: List[bytes], flat_rows, shape):
+        """Decode against precomputed int32 CDF rows (the deterministic
+        path: encoder and decoder must derive rows with the SAME compiled
+        function, or float ulp differences can desynchronize the coder)."""
+        values = self.decode_symbols(strings, flat_rows)
+        return jnp.asarray(values.reshape(shape).astype(np.float32))
 
 
 class LocationScaleIndexedEntropyModel:
@@ -215,6 +248,7 @@ class LocationScaleIndexedEntropyModel:
         tail_mass: float = 2.0 ** -8,
         range_coder_precision: int = 12,
         laplace_tail_mass: float = 0.0,
+        tables=None,
     ):
         if scale_fn is None:
             scale_fn = lambda i: log_scale_fn(i, scales_min, scales_max, num_scales)  # noqa: E731
@@ -224,6 +258,7 @@ class LocationScaleIndexedEntropyModel:
             )
         self.scale_fn = scale_fn
         self.inverse_scale_fn = inverse_scale_fn
+        self._rows_jit = None
         self._em = ContinuousIndexedEntropyModel(
             prior_fn=lambda scale: prior_fn(
                 loc=jnp.zeros_like(scale), scale=scale
@@ -235,6 +270,7 @@ class LocationScaleIndexedEntropyModel:
             tail_mass=tail_mass,
             range_coder_precision=range_coder_precision,
             laplace_tail_mass=laplace_tail_mass,
+            tables=tables,
         )
 
     @property
@@ -253,6 +289,43 @@ class LocationScaleIndexedEntropyModel:
         if loc is None:
             return round_st(y)
         return round_st(y - loc) + loc
+
+    def device_symbols(self, y, scale, loc=None):
+        """Device-side (jit-friendly) symbol + CDF-row computation:
+        returns int32 (symbols, flat_indexes) for `compress_symbols`."""
+        center = y if loc is None else y - loc
+        symbols = jnp.round(center).astype(jnp.int32)
+        return symbols, self._em.device_indexes(self.inverse_scale_fn(scale))
+
+    def rows(self, scale):
+        """Canonical scale->CDF-row function, jitted ONCE and shared by the
+        encode and decode paths — bit-equal scales then always map to the
+        same rows regardless of how the caller's surrounding code compiled.
+        Rows are returned in the narrowest dtype that holds the table size
+        (uint8 for the standard 64-level table: 4x less host traffic)."""
+        if self._rows_jit is None:
+            levels = self._em.index_ranges[0]
+            out_dtype = (
+                jnp.uint8 if levels <= 256
+                else jnp.uint16 if levels <= 65536
+                else jnp.int32
+            )
+            self._rows_jit = jax.jit(
+                lambda s: self._em.device_indexes(
+                    self.inverse_scale_fn(s)
+                ).astype(out_dtype)
+            )
+        return self._rows_jit(scale)
+
+    def compress_symbols(self, symbols, flat_indexes) -> List[bytes]:
+        return self._em.compress_symbols(symbols, flat_indexes)
+
+    def decode_symbols(self, strings, flat_rows):
+        return self._em.decode_symbols(strings, flat_rows)
+
+    def decompress_rows(self, strings, flat_rows, shape, loc=None):
+        values = self._em.decompress_rows(strings, flat_rows, shape)
+        return values if loc is None else values + loc
 
     def compress(self, y, scale, loc=None) -> List[bytes]:
         center = y if loc is None else y - loc

@@ -30,6 +30,7 @@ from compression_tpu.entropy_models import (
 from compression_tpu.distributions.uniform_noise import NoisyNormal
 from compression_tpu.layers import GDN, SignalConv2D
 from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.ops.math_ops import lower_bound
 from compression_tpu.models import common
 from compression_tpu.util import PackedTensors
 from compression_tpu.util import image as image_util
@@ -125,8 +126,11 @@ class HyperSynthesisTransform(nn.Module):
             self.num_latents, (3, 3), corr=True, padding="same_zeros",
             use_bias=True, name="conv2",
         )(z)
-        # Keep sigma strictly inside the coder's scale-table domain.
-        return jnp.maximum(sigma, SCALES_MIN)
+        # Keep sigma inside the coder's scale-table domain. lower_bound
+        # (identity-if-towards) instead of jnp.maximum: at init the conv
+        # output is ~0 (< SCALES_MIN everywhere) and a hard max would zero
+        # ALL rate gradients into the hyper-synthesis, deadlocking training.
+        return lower_bound(sigma, SCALES_MIN)
 
 
 class BMSHJ2018Model(nn.Module):
@@ -228,17 +232,71 @@ class Codec:
     """Jitted transforms + prebuilt CDF tables for a trained model."""
 
     def __init__(self, model: BMSHJ2018Model, params):
+        from compression_tpu.models.codec_cache import tables_via_disk
+
         self.cfg = model.config
         hyperprior = model.apply(params, method=BMSHJ2018Model.get_hyperprior)
+        side_proto = ContinuousBatchedEntropyModel(hyperprior, coding_rank=3)
+        main_proto = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
+        tables = tables_via_disk(
+            lambda: {
+                "side": side_proto.build_tables(),
+                "main": main_proto._em.build_tables(),
+            }
+        )
         self.side_em = ContinuousBatchedEntropyModel(
-            hyperprior, coding_rank=3, compression=True
+            hyperprior, coding_rank=3, compression=True, tables=tables["side"]
         )
         self.em = LocationScaleIndexedEntropyModel(
-            NoisyNormal, coding_rank=3, compression=True
+            NoisyNormal, coding_rank=3, compression=True, tables=tables["main"]
         )
-        self._encode = jax.jit(
-            lambda x: model.apply(params, x, method=BMSHJ2018Model.encode_latents)
-        )
+        # Encoder front half in ONE jit: transforms + z symbols. The pieces
+        # the decoder must reproduce bit-exactly (z_hat -> sigma -> CDF
+        # rows) deliberately go through jits SHARED with the decode path
+        # (self._sigma, self.em.rows) so encoder and decoder can never
+        # disagree on a CDF row due to different XLA fusions.
+        z_off = self.side_em.symbol_offset()
+        self._z_off_host = np.asarray(z_off, np.float32)
+
+        def _encode_front(x_uint8):
+            # uint8 in, normalize on device: 3x less host->device traffic
+            # and zero eager dispatches on the hot path.
+            x = x_uint8.astype(jnp.float32) / 255.0
+            y, z = model.apply(
+                params, x, method=BMSHJ2018Model.encode_latents
+            )
+            z_sym = jnp.round(z - z_off).astype(jnp.int32)
+            y_sym = jnp.round(y).astype(jnp.int32)
+            # Ship int16 over the host link (half the bytes); symbols of a
+            # sane model are tiny. The overflow flag forces the (never in
+            # practice) exact int32 refetch path.
+            overflow = jnp.any(jnp.abs(y_sym) > 32767) | jnp.any(
+                jnp.abs(z_sym) > 32767
+            )
+            return (
+                y_sym.astype(jnp.int16),
+                z_sym.astype(jnp.int16),
+                overflow,
+                y_sym,
+                z_sym,
+            )
+
+        _front = jax.jit(_encode_front)
+
+        def encode_front(x):
+            y16, z16, overflow, y32, z32 = _front(x)
+            if bool(jax.device_get(overflow)):
+                return (
+                    np.asarray(jax.device_get(y32)),
+                    np.asarray(jax.device_get(z32)),
+                )
+            y16, z16 = jax.device_get((y16, z16))
+            return (
+                np.asarray(y16, np.int32),
+                np.asarray(z16, np.int32),
+            )
+
+        self._encode_front = encode_front
         self._sigma = jax.jit(
             lambda z: model.apply(
                 params, z, method=BMSHJ2018Model.sigma_from_zhat
@@ -247,7 +305,11 @@ class Codec:
         self._synthesize = jax.jit(
             lambda y: jnp.clip(
                 jnp.round(
-                    model.apply(params, y, method=BMSHJ2018Model.synthesize)
+                    model.apply(
+                        params,
+                        y.astype(jnp.float32),
+                        method=BMSHJ2018Model.synthesize,
+                    )
                     * 255.0
                 ),
                 0,
@@ -255,14 +317,42 @@ class Codec:
             ).astype(jnp.uint8)
         )
 
+    @staticmethod
+    def _slim(values: np.ndarray) -> np.ndarray:
+        """int16 when the decoded symbols fit (halves the host->device
+        transfer); exact fallback to int32 otherwise."""
+        if values.size and (
+            values.min() >= -32768 and values.max() <= 32767
+        ):
+            return values.astype(np.int16)
+        return values
+
+    def _zhat_host(self, z_sym: np.ndarray) -> np.ndarray:
+        # int symbols + f32 offset: exact in f32, identical on host and
+        # device, so encoder and decoder see bit-equal z_hat.
+        return z_sym.astype(np.float32) + self._z_off_host
+
+    @staticmethod
+    def _pad_np(images: np.ndarray, multiple: int):
+        h, w = images.shape[1], images.shape[2]
+        hp, wp = -h % multiple, -w % multiple
+        if hp or wp:
+            images = np.pad(
+                images, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="edge"
+            )
+        return images, (h, w)
+
     def compress(self, image: np.ndarray) -> bytes:
-        x = jnp.asarray(image, jnp.float32)[None] / 255.0
-        x, (h, w) = image_util.pad_to_multiple(x, self.cfg.downscale)
-        y, z = self._encode(x)
-        z_strings = self.side_em.compress(z)
-        z_hat = self.side_em.decompress(z_strings, z.shape[1:3])
-        sigma = self._sigma(z_hat)
-        y_strings = self.em.compress(y, sigma)
+        x, (h, w) = self._pad_np(
+            np.asarray(image, np.uint8)[None], self.cfg.downscale
+        )
+        y_sym, z_sym = self._encode_front(jnp.asarray(x))
+        sigma = self._sigma(jnp.asarray(self._zhat_host(z_sym)))
+        y_rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+        z_strings = self.side_em.compress_symbols(z_sym)
+        y_strings = self.em.compress_symbols(
+            y_sym.reshape(1, -1), y_rows.reshape(1, -1)
+        )
         packed = PackedTensors()
         packed.model = self.cfg.model_name
         packed.pack(
@@ -270,10 +360,65 @@ class Codec:
                 y_strings[0],
                 z_strings[0],
                 np.array([h, w], np.int32),
-                np.array(z.shape[1:3], np.int32),
+                np.array(z_sym.shape[1:3], np.int32),
             ]
         )
         return packed.string
+
+    # -- batched fast paths (same bitstream format, N images at a time) -----
+
+    def compress_batch(self, images: np.ndarray) -> list[bytes]:
+        """Compresses a uint8 (N, H, W, 3) stack; one .tfci blob each.
+
+        Batching amortizes dispatch latency and keeps the MXU busy; the
+        entropy coder fans the N streams across native threads.
+        """
+        x, (h, w) = self._pad_np(
+            np.asarray(images, np.uint8), self.cfg.downscale
+        )
+        y_sym, z_sym = self._encode_front(jnp.asarray(x))
+        sigma = self._sigma(jnp.asarray(self._zhat_host(z_sym)))
+        y_rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+        n = x.shape[0]
+        z_strings = self.side_em.compress_symbols(z_sym)
+        y_strings = self.em.compress_symbols(
+            y_sym.reshape(n, -1), y_rows.reshape(n, -1)
+        )
+        blobs = []
+        for i in range(n):
+            packed = PackedTensors()
+            packed.model = self.cfg.model_name
+            packed.pack(
+                [
+                    y_strings[i],
+                    z_strings[i],
+                    np.array([h, w], np.int32),
+                    np.array(z_sym.shape[1:3], np.int32),
+                ]
+            )
+            blobs.append(packed.string)
+        return blobs
+
+    def decompress_batch(self, blobs: list) -> np.ndarray:
+        """Decompresses same-size .tfci blobs as one batch."""
+        y_strings, z_strings = [], []
+        xshape = zshape = None
+        for blob in blobs:
+            packed = PackedTensors(blob)
+            ys, zs, xs, zsh = packed.unpack([object, object, np.int32, np.int32])
+            y_strings.append(bytes(ys[0]))
+            z_strings.append(bytes(zs[0]))
+            xshape, zshape = xs, zsh
+        z_hat = self.side_em.decompress(
+            z_strings, tuple(int(v) for v in zshape)
+        )
+        sigma = self._sigma(z_hat)
+        y_rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+        n = len(blobs)
+        values = self.em.decode_symbols(y_strings, y_rows.reshape(n, -1))
+        y_hat = jnp.asarray(self._slim(values.reshape(sigma.shape)))
+        x_hat = np.asarray(jax.device_get(self._synthesize(y_hat)))
+        return x_hat[:, : int(xshape[0]), : int(xshape[1]), :]
 
     def decompress(self, data: bytes) -> np.ndarray:
         packed = PackedTensors(data)
@@ -284,10 +429,11 @@ class Codec:
             [bytes(z_string[0])], tuple(int(v) for v in zshape)
         )
         sigma = self._sigma(z_hat)
-        y_hat = self.em.decompress([bytes(y_string[0])], sigma)
-        x_hat = self._synthesize(y_hat)
-        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
-        return np.asarray(jax.device_get(x_hat), np.uint8)
+        y_rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+        values = self.em.decode_symbols([bytes(y_string[0])], y_rows)
+        y_hat = jnp.asarray(self._slim(values.reshape(sigma.shape)))
+        x_hat = np.asarray(jax.device_get(self._synthesize(y_hat)))
+        return x_hat[0, : int(xshape[0]), : int(xshape[1]), :]
 
 
 def make_codec(model: BMSHJ2018Model, params) -> Codec:

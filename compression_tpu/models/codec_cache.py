@@ -18,6 +18,31 @@ __all__ = ["cached"]
 _CACHE: Dict[int, Tuple[Any, Any]] = {}
 
 
+def tables_via_disk(build: Callable[[], Dict[str, Any]]) -> Dict[str, Any]:
+    """Loads/saves named CDF tables at $TPC_TABLE_CACHE_FILE when set.
+
+    Table building is seconds-to-minutes of host math per trained model but
+    a pure function of the checkpoint; the CLI sets the env var to a path
+    derived from the checkpoint file so every process after the first loads
+    the integer tables directly. (The reference gets the same effect by
+    storing CDF tables as variables inside its checkpoints.)
+    """
+    import os
+
+    from compression_tpu.entropy_models.continuous_base import (
+        load_tables,
+        save_tables,
+    )
+
+    path = os.environ.get("TPC_TABLE_CACHE_FILE")
+    if path and os.path.exists(path):
+        return load_tables(path)
+    tables = build()
+    if path:
+        save_tables(path, tables)
+    return tables
+
+
 def cached(key_obj, builder: Callable):
     """Returns builder() memoized on the identity of ``key_obj``.
 

@@ -87,24 +87,39 @@ def crop_dataset(cfg: TrainConfig) -> Iterator[np.ndarray]:
         yield batch
 
 
-def save_checkpoint(path: str, params, step: int) -> None:
-    """Serializes a param pytree with flax's msgpack (orbax-free fast path)."""
+def save_checkpoint(path: str, params, step: int, opt_state=None) -> None:
+    """Serializes params (and optionally optimizer state) via flax msgpack.
+
+    Written atomically (tmp + rename) so a crash mid-write never corrupts
+    the resumable checkpoint — the BackupAndRestore role of the reference's
+    training scripts (SURVEY.md §5 checkpoint row).
+    """
     from flax import serialization
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    blob = serialization.to_bytes({"params": params, "step": step})
-    with open(path, "wb") as f:
+    state = {"params": params, "step": step}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    blob = serialization.to_bytes(state)
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, params_template):
+def load_checkpoint(path: str, params_template, opt_state_template=None):
+    """Returns (params, step) or (params, step, opt_state) when a template
+    for the optimizer state is given."""
     from flax import serialization
 
     with open(path, "rb") as f:
         blob = f.read()
-    state = serialization.from_bytes(
-        {"params": params_template, "step": 0}, blob
-    )
+    template = {"params": params_template, "step": 0}
+    if opt_state_template is not None:
+        template["opt_state"] = opt_state_template
+    state = serialization.from_bytes(template, blob)
+    if opt_state_template is not None:
+        return state["params"], state["step"], state["opt_state"]
     return state["params"], state["step"]
 
 
@@ -138,6 +153,20 @@ def train_model(
 
     tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
+    start_step = 0
+    if cfg.checkpoint_dir:
+        resume_path = os.path.join(cfg.checkpoint_dir, "checkpoint.msgpack")
+        if os.path.exists(resume_path):
+            try:
+                params, start_step, opt_state = load_checkpoint(
+                    resume_path, params, opt_state
+                )
+                print(f"resumed from {resume_path} @ step {start_step}")
+            except Exception:
+                # Older params-only checkpoint: resume weights, fresh opt.
+                params, start_step = load_checkpoint(resume_path, params)
+                opt_state = tx.init(params)
+                print(f"resumed (params only) from {resume_path} @ {start_step}")
 
     if cfg.num_devices > 1:
         from compression_tpu.parallel.data_parallel import make_dp_step
@@ -158,13 +187,13 @@ def train_model(
             )
 
     t0 = time.time()
-    for step in range(1, cfg.steps + 1):
+    for step in range(start_step + 1, cfg.steps + 1):
         rng, step_rng = jax.random.split(rng)
         batch = jnp.asarray(next(data))
         params, opt_state, metrics = step_fn(params, opt_state, batch, step_rng)
         if step % cfg.log_every == 0 or step == cfg.steps:
             m = {k: float(v) for k, v in metrics.items()}
-            rate = step * cfg.batch_size / (time.time() - t0)
+            rate = (step - start_step) * cfg.batch_size / (time.time() - t0)
             line = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
             print(f"step {step}: {line} ({rate:.1f} img/s)")
             if hooks:
@@ -176,5 +205,6 @@ def train_model(
                 os.path.join(cfg.checkpoint_dir, "checkpoint.msgpack"),
                 params,
                 step,
+                opt_state,
             )
     return params

@@ -26,6 +26,7 @@ from compression_tpu.entropy_models import (
 from compression_tpu.distributions.uniform_noise import NoisyNormal
 from compression_tpu.layers import GDN, SignalConv2D
 from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.ops.math_ops import lower_bound
 from compression_tpu.models import common
 from compression_tpu.models.bmshj2018 import (
     AnalysisTransform,
@@ -93,7 +94,9 @@ class HyperSynthesisTransform(nn.Module):
             use_bias=True, name="conv2",
         )(z)
         mu, sigma = jnp.split(out, 2, axis=-1)
-        return mu, jnp.maximum(sigma, SCALES_MIN)
+        # lower_bound, not maximum: keeps rate gradients alive when the
+        # predicted sigma starts below the scale-table floor (see bmshj2018).
+        return mu, lower_bound(sigma, SCALES_MIN)
 
 
 class MBT2018Model(nn.Module):

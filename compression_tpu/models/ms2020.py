@@ -36,6 +36,7 @@ from compression_tpu.entropy_models import (
 from compression_tpu.distributions.uniform_noise import NoisyNormal
 from compression_tpu.layers import GDN, SignalConv2D
 from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.ops.math_ops import lower_bound
 from compression_tpu.models import common
 from compression_tpu.models.bmshj2018 import (
     AnalysisTransform,
@@ -167,7 +168,9 @@ class MS2020Model(nn.Module):
         ctx = jnp.concatenate([mu_sup] + decoded, axis=-1)
         mu = self.mean_transforms[i](ctx)
         ctx_s = jnp.concatenate([sigma_sup] + decoded, axis=-1)
-        sigma = jnp.maximum(self.scale_transforms[i](ctx_s), SCALES_MIN)
+        # lower_bound, not maximum: keeps rate gradients alive when the
+        # predicted sigma starts below the scale-table floor (see bmshj2018).
+        sigma = lower_bound(self.scale_transforms[i](ctx_s), SCALES_MIN)
         return mu, sigma
 
     def slice_lrp(self, i: int, mu_sup, decoded_with_current: List):

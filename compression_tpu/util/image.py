@@ -129,7 +129,17 @@ def _avg_pool2(x):
 @functools.partial(jax.jit, static_argnames=("max_val",))
 def msssim(a, b, max_val: float = 255.0):
     """Multi-scale SSIM (Wang et al. 2003), matching the standard 5-level
-    weights used by the reference's eval (`tf.image.ssim_multiscale`)."""
+    weights used by the reference's eval (`tf.image.ssim_multiscale`).
+
+    Requires spatial dims >= 11 * 2^4 = 176 (the 11-tap window must fit at
+    the coarsest of the 5 scales) — same constraint as the reference metric.
+    """
+    min_hw = 11 * 2 ** (len(_MSSSIM_WEIGHTS) - 1)
+    if min(a.shape[-3], a.shape[-2]) < min_hw:
+        raise ValueError(
+            f"msssim needs spatial dims >= {min_hw}, got "
+            f"{a.shape[-3]}x{a.shape[-2]}"
+        )
     squeeze = jnp.ndim(a) == 3
     a, b = _as_batch(a), _as_batch(b)
     values = []

@@ -50,6 +50,23 @@ class TestBMSHJ2018:
         assert out.shape == image.shape and out.dtype == np.uint8
         assert data == bmshj2018.compress(model, params, image)
 
+    def test_batched_matches_single(self):
+        """compress_batch/decompress_batch: byte-identical to per-image."""
+        model = bmshj2018.BMSHJ2018Model(_tiny_bmshj())
+        x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+        )
+        rng = np.random.RandomState(7)
+        images = (rng.rand(3, 64, 64, 3) * 255).astype(np.uint8)
+        codec = bmshj2018.make_codec(model, params)
+        blobs = codec.compress_batch(images)
+        for i in range(3):
+            assert blobs[i] == codec.compress(images[i])
+        recon = codec.decompress_batch(blobs)
+        for i in range(3):
+            np.testing.assert_array_equal(recon[i], codec.decompress(blobs[i]))
+
 
 class TestMBT2018:
     def test_forward_and_grads(self):
@@ -86,7 +103,7 @@ class TestMBT2018:
 def test_metrics_psnr_msssim():
     from compression_tpu.util import image as im
 
-    a = np.random.RandomState(3).rand(1, 128, 128, 3) * 255
+    a = np.random.RandomState(3).rand(1, 192, 192, 3) * 255
     assert float(im.psnr(a, a)[0]) > 80
     m = im.msssim(jnp.asarray(a, jnp.float32), jnp.asarray(a, jnp.float32))
     assert float(m[0]) == pytest.approx(1.0, abs=1e-5)
