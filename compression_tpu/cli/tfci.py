@@ -93,15 +93,10 @@ def cmd_dump(args) -> int:
     with open(args.input, "rb") as f:
         packed = PackedTensors(f.read())
     print(f"model: {packed.model}")
-    i = 0
-    while True:
-        try:
-            (tensor,) = packed.unpack([object])
-        except KeyError:
-            break
-        # Heuristic display only; dump is for debugging.
-        print(f"tensor {i}: {len(tensor)} value(s)")
-        break
+    for key, kind, count, size in packed.describe():
+        if key == "MD":
+            continue
+        print(f"tensor {key}: {kind:6s} x{count:<8d} {size} bytes")
     return 0
 
 

@@ -52,6 +52,9 @@ class GDN(nn.Module):
     beta_min: float = 1e-6
     gamma_init: float = 0.1
     dtype: Any = None
+    # Hand-fused Pallas kernel (TPU; classic alpha=2/epsilon=0.5 form only).
+    # Also enabled globally via env TPC_PALLAS_GDN=1.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -76,6 +79,17 @@ class GDN(nn.Module):
 
         if self.rectify:
             x = nn.relu(x)
+
+        import os
+
+        if (
+            (self.use_pallas or os.environ.get("TPC_PALLAS_GDN") == "1")
+            and self.alpha == 2.0
+            and self.epsilon == 0.5
+        ):
+            from compression_tpu.layers.pallas.gdn_kernel import fused_gdn
+
+            return fused_gdn(x, beta, gamma, inverse=self.inverse)
 
         if self.alpha == 1.0:
             pooled = jnp.abs(x)

@@ -209,6 +209,14 @@ class Codec:
                 params, z, method=HificModel.params_from_zhat
             )
         )
+        # Shared coder-boundary jits (identical compiled code on encode and
+        # decode so symbol/row math cannot diverge; see bmshj2018.Codec).
+        self._center_round = jax.jit(
+            lambda y, mu: jnp.round(y - mu).astype(jnp.int32)
+        )
+        self._apply_loc = jax.jit(
+            lambda v, mu: v.astype(jnp.float32) + mu
+        )
         self._generate = jax.jit(
             lambda y: jnp.clip(
                 jnp.round(
@@ -226,7 +234,12 @@ class Codec:
         z_strings = self.side_em.compress(z)
         z_hat = self.side_em.decompress(z_strings, z.shape[1:3])
         mu, sigma = self._params(z_hat)
-        y_strings = self.em.compress(y, sigma, loc=mu)
+        sym = np.asarray(jax.device_get(self._center_round(y, mu)))
+        rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+        n = sym.shape[0]
+        y_strings = self.em.compress_symbols(
+            sym.reshape(n, -1), rows.reshape(n, -1)
+        )
         packed = PackedTensors()
         packed.model = self.name
         packed.pack(
@@ -248,7 +261,9 @@ class Codec:
             [bytes(z_string[0])], tuple(int(v) for v in zshape)
         )
         mu, sigma = self._params(z_hat)
-        y_hat = self.em.decompress([bytes(y_string[0])], sigma, loc=mu)
+        rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+        values = self.em.decode_symbols([bytes(y_string[0])], rows)
+        y_hat = self._apply_loc(jnp.asarray(values.reshape(mu.shape)), mu)
         x_hat = self._generate(y_hat)
         x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
         return np.asarray(jax.device_get(x_hat), np.uint8)

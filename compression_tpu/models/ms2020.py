@@ -293,6 +293,22 @@ class Codec:
             ),
             static_argnums=0,
         )
+        # Tiny shared jits for the coder boundary: identical compiled code
+        # on the encode and decode side, so symbol/row/reconstruction math
+        # can never diverge between them (see bmshj2018.Codec notes).
+        self._center_round = jax.jit(
+            lambda y, mu: jnp.round(y - mu).astype(jnp.int32)
+        )
+        self._apply_loc = jax.jit(
+            lambda v, mu: v.astype(jnp.float32) + mu
+        )
+        self._finish_slice = jax.jit(
+            lambda i, ms, dec, y_hat_i: y_hat_i
+            + model.apply(
+                params, i, ms, dec + [y_hat_i], method=MS2020Model.slice_lrp
+            ),
+            static_argnums=0,
+        )
         self._synthesize = jax.jit(
             lambda y: jnp.clip(
                 jnp.round(
@@ -319,11 +335,18 @@ class Codec:
         for i in range(cfg.num_slices):
             y_i = y[..., i * s : (i + 1) * s]
             mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
-            strings = self.em.compress(y_i, sigma, loc=mu)
-            slice_strings.append(strings[0])
-            y_hat_i = self.em.decompress(strings, sigma, loc=mu)
-            lrp = self._slice_lrp(i, mu_sup, decoded + [y_hat_i])
-            decoded.append(y_hat_i + lrp)
+            sym = self._center_round(y_i, mu)
+            rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+            sym_host = np.asarray(jax.device_get(sym))
+            slice_strings.append(
+                self.em.compress_symbols(
+                    sym_host.reshape(1, -1), rows.reshape(1, -1)
+                )[0]
+            )
+            y_hat_i = self._apply_loc(sym, mu)
+            decoded.append(
+                self._finish_slice(i, mu_sup, decoded, y_hat_i)
+            )
 
         packed = PackedTensors()
         packed.model = cfg.model_name
@@ -356,9 +379,14 @@ class Codec:
         decoded: List = []
         for i in range(cfg.num_slices):
             mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
-            y_hat_i = self.em.decompress([slice_strings[i]], sigma, loc=mu)
-            lrp = self._slice_lrp(i, mu_sup, decoded + [y_hat_i])
-            decoded.append(y_hat_i + lrp)
+            rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+            values = self.em.decode_symbols([slice_strings[i]], rows)
+            y_hat_i = self._apply_loc(
+                jnp.asarray(values.reshape(mu.shape)), mu
+            )
+            decoded.append(
+                self._finish_slice(i, mu_sup, decoded, y_hat_i)
+            )
 
         y_hat = jnp.concatenate(decoded, axis=-1)
         x_hat = self._synthesize(y_hat)

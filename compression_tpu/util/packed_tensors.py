@@ -240,6 +240,21 @@ class PackedTensors:
             else:
                 raise TypeError(f"cannot pack dtype {arr.dtype}")
 
+    def describe(self) -> List[tuple]:
+        """Introspection for the `dump` CLI verb: returns
+        ``(key, kind, count, total_bytes)`` per packed feature."""
+        out = []
+        for key in sorted(
+            self._features, key=lambda k: (k == "MD", k.zfill(8))
+        ):
+            kind, vals = _decode_feature(self._features[key])
+            if kind == "bytes":
+                size = sum(len(v) for v in vals)
+            else:
+                size = len(vals) * (8 if kind == "int64" else 4)
+            out.append((key, kind, len(vals), size))
+        return out
+
     def unpack(self, dtypes: Sequence) -> List[np.ndarray]:
         """Unpacks tensors as 1-D arrays of the given NumPy dtypes."""
         out = []
