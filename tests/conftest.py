@@ -28,3 +28,14 @@ import jax  # noqa: E402
 # initialized yet (conftest runs before any test imports).
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
+
+# The suite is compile-bound (many small jits per test on one CPU core);
+# the persistent compilation cache makes repeat runs start hot.
+try:
+    from compression_tpu.util.cache import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.environ.get("TPC_TEST_XLA_CACHE", "/tmp/tpc_xla_test_cache")
+    )
+except Exception:
+    pass

@@ -206,6 +206,22 @@ class TestUniversal:
         # Offsets differ across channels (that's the point).
         assert len(np.unique(model.tables.offset)) > 1
 
+    def test_batched_expected_grads(self):
+        """perturb_and_apply path: rate gradient is the exact expected one."""
+        prior = _make_prior(2, seed=11)
+        model = em.UniversalBatchedEntropyModel(prior, coding_rank=1)
+        y = jnp.asarray([0.3, -1.2])
+
+        def loss(yy):
+            _, bits = model(yy, rng=jax.random.PRNGKey(0), training=True)
+            return jnp.sum(bits)
+
+        g = np.asarray(jax.grad(loss)(y))
+        # Expected gradient: d/dy E[-log2 p(y+u)] = -(log2 p(y+.5)-log2 p(y-.5))
+        lp = lambda t: np.asarray(prior.log_prob(jnp.asarray(t))) / np.log(2)  # noqa: E731
+        want = -(lp(np.asarray(y) + 0.5) - lp(np.asarray(y) - 0.5))
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-6)
+
     def test_indexed_roundtrip(self):
         model = em.UniversalIndexedEntropyModel(
             prior_fn=lambda loc, scale: NoisyNormal(loc=loc, scale=scale),
