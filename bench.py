@@ -42,9 +42,16 @@ def main():
     rng = np.random.RandomState(0)
     image = (rng.rand(512, 768, 3) * 255).astype(np.uint8)
     x0 = np.zeros((1, 512, 768, 3), np.float32)
-    params = model.init(
-        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
-    )
+    # Init on host CPU (values are arbitrary for a throughput bench; no
+    # need to compile the init program for the accelerator). The codec jits
+    # close over the params, so they are shipped to the device once.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = model.init(
+            jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+        )
+    # Un-commit from the CPU: closed-over params committed to another
+    # device would drag the codec jits off the accelerator.
+    params = jax.device_put(params, jax.devices()[0])
 
     # Batched serving path: N images per device dispatch, native coder
     # fanning streams across host threads.

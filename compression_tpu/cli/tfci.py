@@ -41,9 +41,23 @@ def _load_model(name: str, allow_random: bool = False):
         )
     model = entry.make_model()
     x0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
-    params = model.init(
-        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
-    )
+    # Init on host CPU: the values are immediately replaced by the loaded
+    # checkpoint, so there is no reason to pay an accelerator compile of
+    # the init program (minutes on a tunneled TPU).
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        init_ctx = jax.default_device(cpu)
+        x0 = jax.device_put(x0, cpu)
+    except RuntimeError:
+        import contextlib
+
+        init_ctx = contextlib.nullcontext()
+    with init_ctx:
+        params = model.init(
+            jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+        )
+    # Un-commit from the CPU so the codec jits stay on the accelerator.
+    params = jax.device_put(params, jax.devices()[0])
     if ckpt is not None:
         from compression_tpu.models.common import load_checkpoint
 

@@ -124,6 +124,26 @@ class DeepFactorized(Distribution):
         )
 
     # grid protocol -----------------------------------------------------
+    def _grid_points(self, tail_mass):
+        """(offset, lower, upper) in ONE batched root-find.
+
+        All three grid anchors are level sets of the same monotone
+        ``_logits_cumulative`` (median: 0; tails: +-logit(tail_mass/2)), so
+        they solve as one search with a stacked target — one compile and
+        one loop instead of three (the entropy-model table build calls
+        this; see continuous_base.build_tables).
+        """
+        t = math.log(tail_mass / 2.0) - math.log1p(-tail_mass / 2.0)
+        targets = jnp.asarray([0.0, t, -t], self.matrices[0].dtype)
+        shape = (3,) + tuple(self.batch_shape)
+        x = helpers.estimate_tails(
+            self._logits_cumulative,
+            targets.reshape((3,) + (1,) * len(self.batch_shape)),
+            shape,
+            self.matrices[0].dtype,
+        )
+        return x[0], x[1], x[2]
+
     def _quantization_offset(self):
         # Median: root of logits == 0.
         return helpers.estimate_tails(

@@ -88,6 +88,10 @@ class UniformNoiseAdapter(Distribution):
 
     # grid protocol: delegate to the base distribution (the reference builds
     # its CDF tables from the base prior's tails as well).
+    def _grid_points(self, tail_mass):
+        fn = getattr(self.base, "_grid_points", None)
+        return fn(tail_mass) if fn is not None else None
+
     def _quantization_offset(self):
         return self.base._quantization_offset()
 

@@ -215,13 +215,31 @@ class ContinuousEntropyModelBase:
             return self._build_tables_impl(prior)
 
     def _build_tables_impl(self, prior) -> CdfTables:
-        offset = self._table_offsets(prior)
-        lo = np.asarray(
-            jax.device_get(helpers.lower_tail(prior, self.tail_mass)), np.float64
-        ).reshape(-1)
-        hi = np.asarray(
-            jax.device_get(helpers.upper_tail(prior, self.tail_mass)), np.float64
-        ).reshape(-1)
+        # Fast path: priors exposing _grid_points solve offset + both tails
+        # in one compiled root-find (DeepFactorized); fall back to the three
+        # separate helper searches otherwise.
+        grid_fn = getattr(prior, "_grid_points", None)
+        pts = grid_fn(self.tail_mass) if grid_fn is not None else None
+        offsets_overridden = (
+            type(self)._table_offsets
+            is not ContinuousEntropyModelBase._table_offsets
+        )
+        if pts is not None and self.offset_heuristic and not offsets_overridden:
+            off_raw, lo_raw, hi_raw = jax.device_get(pts)
+            offset = np.asarray(off_raw, np.float64).reshape(-1)
+            offset -= np.round(offset)
+            lo = np.asarray(lo_raw, np.float64).reshape(-1)
+            hi = np.asarray(hi_raw, np.float64).reshape(-1)
+        else:
+            offset = self._table_offsets(prior)
+            lo = np.asarray(
+                jax.device_get(helpers.lower_tail(prior, self.tail_mass)),
+                np.float64,
+            ).reshape(-1)
+            hi = np.asarray(
+                jax.device_get(helpers.upper_tail(prior, self.tail_mass)),
+                np.float64,
+            ).reshape(-1)
 
         minima = np.floor(lo - offset).astype(np.int64)
         maxima = np.ceil(hi - offset).astype(np.int64)

@@ -31,6 +31,31 @@ def test_forward_and_grads():
     assert any(np.any(np.asarray(g) != 0) for g in st)
 
 
+def test_pipelined_batch_decode_matches_serial():
+    model = ms2020.MS2020Model(_tiny_cfg())
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    rng = np.random.RandomState(3)
+    blobs = [
+        ms2020.compress(
+            model, params,
+            (rng.rand(64, 64, 3) * 255).astype(np.uint8),
+        )
+        for _ in range(3)
+    ]
+    from compression_tpu.parallel.charm_pipeline import (
+        decompress_batch_pipelined,
+    )
+
+    out = decompress_batch_pipelined(model, params, blobs, depth=2)
+    for blob, img in zip(blobs, out):
+        np.testing.assert_array_equal(
+            img, ms2020.decompress(model, params, blob)
+        )
+
+
 def test_roundtrip_serial_slices():
     model = ms2020.MS2020Model(_tiny_cfg())
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
