@@ -31,16 +31,28 @@ def main():
     from compression_tpu.util.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    # Persist range-coder tables across bench runs (pure function of the
-    # fixed-seed params used below).
-    os.environ.setdefault("TPC_TABLE_CACHE_FILE", "/tmp/tpc_bench_tables.npz")
 
     from compression_tpu.models import bmshj2018
 
     cfg = bmshj2018.Config()
     model = bmshj2018.BMSHJ2018Model(cfg)
-    rng = np.random.RandomState(0)
-    image = (rng.rand(512, 768, 3) * 255).astype(np.uint8)
+    # Structured synthetic image (gradients + texture + edges): natural-ish
+    # statistics. White noise would flood the coder's escape path and
+    # measure a pathological case instead of codec throughput.
+    h, w = 512, 768
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    image = np.stack(
+        [
+            xx / w * 255,
+            yy / h * 255,
+            (np.sin(xx / 17) * np.cos(yy / 23) * 0.5 + 0.5) * 255,
+        ],
+        -1,
+    )
+    image[128:256, 192:448] = [255, 64, 32]
+    image = np.clip(
+        image + np.random.RandomState(0).randn(h, w, 3) * 4, 0, 255
+    ).astype(np.uint8)
     x0 = np.zeros((1, 512, 768, 3), np.float32)
     # Init on host CPU (values are arbitrary for a throughput bench; no
     # need to compile the init program for the accelerator). The codec jits
@@ -49,9 +61,33 @@ def main():
         params = model.init(
             jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
         )
+
+    # A random-init model floods the range coder's escape path (every
+    # symbol out of range), understating real throughput ~2x. Briefly
+    # train once so symbol statistics look like a real codec's; the
+    # checkpoint is cached so only the first-ever bench run pays this.
+    ckpt = "/tmp/tpc_bench_ckpt.msgpack"
+    from compression_tpu.models import common
+
+    if os.path.exists(ckpt):
+        params, _ = common.load_checkpoint(ckpt, params)
+    else:
+        tc = common.TrainConfig(
+            train_glob=None, batch_size=2, patch_size=128, steps=60,
+            log_every=60,
+        )
+        _, params = bmshj2018.train(bmshj2018.Config(), tc, params=params)
+        common.save_checkpoint(ckpt, params, step=60)
+
     # Un-commit from the CPU: closed-over params committed to another
     # device would drag the codec jits off the accelerator.
     params = jax.device_put(params, jax.devices()[0])
+
+    # Persist range-coder tables keyed by the checkpoint identity.
+    st = os.stat(ckpt)
+    os.environ.setdefault(
+        "TPC_TABLE_CACHE_FILE", f"{ckpt}.{st.st_mtime_ns}.tables.npz"
+    )
 
     # Batched serving path: N images per device dispatch, native coder
     # fanning streams across host threads.
