@@ -26,57 +26,84 @@ class ModelEntry:
     compress: Callable          # (model, params, image) -> bytes
     decompress: Callable        # (model, params, data) -> image
     description: str = ""
+    config: object = None       # the family Config used by make_model
+
+
+def _tiny_overrides() -> dict:
+    """TPC_TINY_MODELS=1 shrinks every registry model (CI / smoke tests)."""
+    if os.environ.get("TPC_TINY_MODELS") == "1":
+        return dict(num_filters=8, num_latents=8, num_hyperlatents=4)
+    return {}
+
+
+def _filter_kwargs(cfg_cls, kw: dict) -> dict:
+    import dataclasses as _dc
+
+    names = {f.name for f in _dc.fields(cfg_cls)}
+    return {k: v for k, v in kw.items() if k in names}
 
 
 def _bls2017(lmbda: float = 0.01):
     from compression_tpu.models import bls2017
 
-    cfg = bls2017.Config(lmbda=lmbda)
+    cfg = bls2017.Config(
+        lmbda=lmbda, **_filter_kwargs(bls2017.Config, _tiny_overrides())
+    )
     return ModelEntry(
         "bls2017",
         lambda: bls2017.BLS2017Model(cfg),
         bls2017.compress,
         bls2017.decompress,
         "factorized prior (Ballé et al. 2017)",
+        config=cfg,
     )
 
 
 def _bmshj2018(lmbda: float = 0.01):
     from compression_tpu.models import bmshj2018
 
-    cfg = bmshj2018.Config(lmbda=lmbda)
+    cfg = bmshj2018.Config(
+        lmbda=lmbda, **_filter_kwargs(bmshj2018.Config, _tiny_overrides())
+    )
     return ModelEntry(
         "bmshj2018",
         lambda: bmshj2018.BMSHJ2018Model(cfg),
         bmshj2018.compress,
         bmshj2018.decompress,
         "scale hyperprior (Ballé et al. 2018)",
+        config=cfg,
     )
 
 
 def _mbt2018(lmbda: float = 0.01):
     from compression_tpu.models import mbt2018
 
-    cfg = mbt2018.Config(lmbda=lmbda)
+    cfg = mbt2018.Config(
+        lmbda=lmbda, **_filter_kwargs(mbt2018.Config, _tiny_overrides())
+    )
     return ModelEntry(
         "mbt2018-mean",
         lambda: mbt2018.MBT2018Model(cfg),
         mbt2018.compress,
         mbt2018.decompress,
         "mean-scale hyperprior (Minnen et al. 2018)",
+        config=cfg,
     )
 
 
 def _ms2020(lmbda: float = 0.01):
     from compression_tpu.models import ms2020
 
-    cfg = ms2020.Config(lmbda=lmbda)
+    cfg = ms2020.Config(
+        lmbda=lmbda, **_filter_kwargs(ms2020.Config, _tiny_overrides())
+    )
     return ModelEntry(
         "ms2020-cc10",
         lambda: ms2020.MS2020Model(cfg),
         ms2020.compress,
         ms2020.decompress,
         "channel-wise autoregressive, CHARM (Minnen & Singh 2020)",
+        config=cfg,
     )
 
 

@@ -135,7 +135,14 @@ def cmd_train(args) -> int:
         model, params, _ = hific.train(hific.get_config(args.model), tc)
     else:
         mod = importlib.import_module(f"compression_tpu.models.{family}")
-        cfg = mod.Config(lmbda=args.lmbda)
+        # Use the registry's config (keeps quality lambdas and the
+        # TPC_TINY_MODELS override consistent with the load path), with
+        # the CLI lambda taking precedence.
+        import dataclasses as _dc
+
+        cfg = entry.config
+        if args.lmbda is not None:
+            cfg = _dc.replace(cfg, lmbda=args.lmbda)
         model, params = mod.train(cfg, tc)
     path = os.path.join(registry.model_dir(), f"{args.model}.msgpack")
     save_checkpoint(path, params, tc.steps)
@@ -165,11 +172,12 @@ def cmd_eval(args) -> int:
                 image.astype(np.float32), recon.astype(np.float32)
             )
         )
-        ms = float(
-            image_util.msssim(
-                jnp.asarray(image, jnp.float32), jnp.asarray(recon, jnp.float32)
-            )
-        )
+        a = jnp.asarray(image, jnp.float32)
+        b = jnp.asarray(recon, jnp.float32)
+        if min(image.shape[0], image.shape[1]) >= 176:
+            ms = float(image_util.msssim(a, b))
+        else:  # too small for 5-scale MS-SSIM; fall back to single-scale
+            ms = float(image_util.ssim(a, b))
         rows.append((os.path.basename(path), bpp, psnr, ms))
         print(f"{rows[-1][0]:24s} bpp={bpp:.4f} psnr={psnr:.2f} msssim={ms:.4f}")
     mean = np.mean(np.array([(r[1], r[2], r[3]) for r in rows]), axis=0)
@@ -226,7 +234,7 @@ def main(argv=None) -> int:
     sp.add_argument("--steps", type=int, default=10000)
     sp.add_argument("--batch-size", type=int, default=8)
     sp.add_argument("--patch-size", type=int, default=256)
-    sp.add_argument("--lmbda", type=float, default=0.01)
+    sp.add_argument("--lmbda", type=float, default=None)
     sp.add_argument("--num-devices", type=int, default=1)
     sp.set_defaults(fn=cmd_train)
 

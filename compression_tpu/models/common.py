@@ -196,6 +196,21 @@ def train_model(
             rate = (step - start_step) * cfg.batch_size / (time.time() - t0)
             line = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
             print(f"step {step}: {line} ({rate:.1f} img/s)")
+            if cfg.checkpoint_dir:
+                # Metrics sink (the reference's TensorBoard-scalars role):
+                # an append-only CSV next to the checkpoints.
+                os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+                csv_path = os.path.join(cfg.checkpoint_dir, "metrics.csv")
+                new_file = not os.path.exists(csv_path)
+                with open(csv_path, "a") as f:
+                    keys = sorted(m)
+                    if new_file:
+                        f.write("step," + ",".join(keys) + ",img_per_s\n")
+                    f.write(
+                        f"{step},"
+                        + ",".join(f"{m[k]:.6g}" for k in keys)
+                        + f",{rate:.2f}\n"
+                    )
             if hooks:
                 hooks(step, m)
         if cfg.checkpoint_dir and (

@@ -1,0 +1,78 @@
+"""CLI end-to-end tests: every tfci verb through main(), tiny models on CPU.
+
+Drives the same surface a user does (train -> compress -> decompress ->
+dump -> eval -> models), with TPC_TINY_MODELS shrinking the registry
+configs so the whole cycle runs in seconds.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from compression_tpu.util import image as image_util
+
+
+@pytest.fixture()
+def cli_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPC_TINY_MODELS", "1")
+    monkeypatch.setenv("TPC_MODEL_DIR", str(tmp_path / "models"))
+    monkeypatch.delenv("TPC_TABLE_CACHE_FILE", raising=False)
+    # Structured test image.
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [xx / w * 255, yy / h * 255, ((xx + yy) % 64) * 4], -1
+    ).astype(np.uint8)
+    png = str(tmp_path / "in.png")
+    image_util.write_png(png, img)
+    return tmp_path, png, img
+
+
+def _main(argv):
+    from compression_tpu.cli.tfci import main
+
+    return main(argv)
+
+
+def test_models_verb(capsys):
+    assert _main(["models"]) == 0
+    out = capsys.readouterr().out
+    for name in ("bls2017", "bmshj2018-hyperprior", "ms2020-cc10", "hific-lo"):
+        assert name in out
+
+
+def test_full_cycle_bls2017(cli_env, capsys):
+    tmp_path, png, img = cli_env
+    assert _main([
+        "train", "bls2017", "--steps", "3", "--batch-size", "2",
+        "--patch-size", "32",
+    ]) == 0
+    tfci = str(tmp_path / "out.tfci")
+    out_png = str(tmp_path / "out.png")
+    assert _main(["compress", "bls2017", png, tfci]) == 0
+    assert os.path.getsize(tfci) > 0
+    assert _main(["decompress", tfci, out_png]) == 0
+    recon = image_util.read_png(out_png)
+    assert recon.shape == img.shape
+
+    assert _main(["dump", tfci]) == 0
+    dump = capsys.readouterr().out
+    assert "model: bls2017" in dump and "tensor 0" in dump
+
+    csv = str(tmp_path / "rd.csv")
+    assert _main(["eval", "bls2017", png, "--csv", csv]) == 0
+    lines = open(csv).read().strip().splitlines()
+    assert lines[0] == "image,bpp,psnr,msssim" and len(lines) == 3
+
+
+def test_compress_requires_checkpoint(cli_env):
+    tmp_path, png, _ = cli_env
+    with pytest.raises(FileNotFoundError):
+        _main(["compress", "mbt2018", png])
+
+
+def test_unknown_model(cli_env):
+    _, png, _ = cli_env
+    with pytest.raises(KeyError):
+        _main(["compress", "not-a-model", png])
