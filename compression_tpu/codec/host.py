@@ -23,12 +23,14 @@ from compression_tpu.codec import binding
 def encode_capacity(n: int, precision: int) -> int:
     """Safe per-stream output capacity for n symbols.
 
-    Worst case per symbol is ~precision bits plus the gamma escape for 32-bit
-    values (< 2*33+1 bits); 8 bytes/symbol is a generous static bound, with
-    slack for the 5-byte coder overhead.
+    True worst case per symbol: the escape symbol at minimum frequency
+    (<= 16 bits) plus the Elias-gamma code of a zigzagged int32 magnitude
+    (<= 2*32+1 = 65 bits) — ~10.2 bytes. 12 bytes/symbol leaves margin for
+    coder carry/flush effects; the C++ side still hard-checks the bound
+    and returns a capacity error rather than overflowing.
     """
     del precision
-    return 8 * int(n) + 64
+    return 12 * int(n) + 64
 
 
 def entropy_encode(

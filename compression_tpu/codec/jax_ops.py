@@ -29,12 +29,12 @@ from compression_tpu.entropy_models.continuous_base import CdfTables
 __all__ = ["make_jax_encoder", "make_jax_decoder"]
 
 
-def make_jax_encoder(tables: CdfTables, capacity_per_symbol: int = 8):
+def make_jax_encoder(tables: CdfTables, capacity_per_symbol: int = 12):
     """Builds ``encode(symbols, indexes) -> (data, lengths)`` usable in jit.
 
     Args:
       tables: prebuilt CDF tables (static).
-      capacity_per_symbol: output buffer bytes per symbol (8 covers the
+      capacity_per_symbol: output buffer bytes per symbol (12 covers the
         worst-case escape coding; see codec.host.encode_capacity).
 
     The returned function takes int32 ``symbols``/``indexes`` of shape

@@ -192,3 +192,18 @@ class TestRunLengthGamma:
         values[::1000] = 1
         data = host.run_length_gamma_encode(values)
         assert len(data) < 100
+
+
+def test_worst_case_escape_capacity():
+    """Every symbol escaping at int32 extremes must fit encode_capacity."""
+    cdfs = np.array([[0, 1, 4096]], np.int32)  # 1 regular symbol + escape
+    lengths = np.array([3], np.int32)
+    offsets = np.array([0], np.int32)
+    vals = np.array(
+        [[2**31 - 1, -(2**31) + 1, 2**30, -(2**30)] * 64], np.int32
+    )
+    idx = np.zeros_like(vals)
+    s = host.entropy_encode(vals, idx, cdfs, lengths, offsets, 12)
+    back = host.entropy_decode(s, idx, cdfs, lengths, offsets, 12)
+    np.testing.assert_array_equal(back, vals)
+    assert len(s[0]) <= host.encode_capacity(vals.size, 12)
