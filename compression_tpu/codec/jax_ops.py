@@ -29,24 +29,30 @@ from compression_tpu.entropy_models.continuous_base import CdfTables
 __all__ = ["make_jax_encoder", "make_jax_decoder"]
 
 
-def make_jax_encoder(tables: CdfTables, capacity_per_symbol: int = 12):
+def make_jax_encoder(tables: CdfTables, capacity_per_symbol: int | None = None):
     """Builds ``encode(symbols, indexes) -> (data, lengths)`` usable in jit.
 
     Args:
       tables: prebuilt CDF tables (static).
-      capacity_per_symbol: output buffer bytes per symbol (12 covers the
-        worst-case escape coding; see codec.host.encode_capacity).
+      capacity_per_symbol: output buffer bytes per symbol; None (default)
+        uses codec.host.encode_capacity — the single source of truth for
+        the worst-case escape bound.
 
     The returned function takes int32 ``symbols``/``indexes`` of shape
     ``(batch, n)`` and returns ``data: uint8[batch, cap]``,
     ``lengths: int32[batch]``.
     """
 
+    def _cap(n: int) -> int:
+        if capacity_per_symbol is None:
+            return host.encode_capacity(int(n), tables.precision)
+        return capacity_per_symbol * int(n) + 64
+
     def _host_encode(symbols, indexes):
         symbols = np.asarray(symbols)
         indexes = np.asarray(indexes)
         batch, n = symbols.shape
-        cap = capacity_per_symbol * n + 64
+        cap = _cap(n)
         strings = host.entropy_encode(
             symbols, indexes, tables.cdf, tables.cdf_length,
             tables.cdf_offset, tables.precision,
@@ -64,7 +70,7 @@ def make_jax_encoder(tables: CdfTables, capacity_per_symbol: int = 12):
 
     def encode(symbols, indexes):
         batch, n = symbols.shape
-        cap = capacity_per_symbol * int(n) + 64
+        cap = _cap(n)
         out_shapes = (
             jax.ShapeDtypeStruct((batch, cap), jnp.uint8),
             jax.ShapeDtypeStruct((batch,), jnp.int32),

@@ -218,13 +218,20 @@ class ContinuousEntropyModelBase:
         # Fast path: priors exposing _grid_points solve offset + both tails
         # in one compiled root-find (DeepFactorized); fall back to the three
         # separate helper searches otherwise.
-        grid_fn = getattr(prior, "_grid_points", None)
-        pts = grid_fn(self.tail_mass) if grid_fn is not None else None
         offsets_overridden = (
             type(self)._table_offsets
             is not ContinuousEntropyModelBase._table_offsets
         )
-        if pts is not None and self.offset_heuristic and not offsets_overridden:
+        grid_fn = getattr(prior, "_grid_points", None)
+        # Only run the fused solve when its result is actually usable.
+        pts = (
+            grid_fn(self.tail_mass)
+            if grid_fn is not None
+            and self.offset_heuristic
+            and not offsets_overridden
+            else None
+        )
+        if pts is not None:
             off_raw, lo_raw, hi_raw = jax.device_get(pts)
             offset = np.asarray(off_raw, np.float64).reshape(-1)
             offset -= np.round(offset)

@@ -62,13 +62,20 @@ class PowerLawEntropyModel:
         return [codec.run_length_gamma_encode(row) for row in flat]
 
     def decompress(self, strings: List[bytes], shape: Sequence[int]):
-        """`shape` is the coding-unit shape."""
+        """``shape`` is the FULL output shape (leading batch dims included);
+        its trailing ``coding_rank`` dims are one coding unit. Unambiguous
+        for batch size 1: pass (1, *unit) to get the batch dim back."""
         shape = tuple(shape)
+        unit = shape[len(shape) - self.coding_rank :]
+        lead = shape[: len(shape) - self.coding_rank]
+        n = int(np.prod(lead)) if lead else 1
+        if n != len(strings):
+            raise ValueError(
+                f"shape {shape} implies {n} streams, got {len(strings)}"
+            )
         rows = [
-            np.asarray(codec.run_length_gamma_decode(s, shape))
+            np.asarray(codec.run_length_gamma_decode(s, unit))
             for s in strings
         ]
-        out = np.stack(rows).astype(np.float32)
-        if len(strings) == 1:
-            out = out[0]
+        out = np.stack(rows).astype(np.float32).reshape(shape)
         return jnp.asarray(out)

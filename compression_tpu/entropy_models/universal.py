@@ -61,6 +61,21 @@ class UniversalBatchedEntropyModel(ContinuousBatchedEntropyModel):
         num = int(np.prod(prior.batch_shape)) if prior.batch_shape else 1
         return _dither(np.arange(num), self.num_noise_levels)
 
+    def dither_offsets(self, dtype=jnp.float32):
+        """The deterministic per-channel dither, shaped like the prior batch
+        (the actual codec grid — also what eval-mode quantization uses)."""
+        pshape = tuple(self.prior.batch_shape)
+        num = int(np.prod(pshape)) if pshape else 1
+        u = _dither(np.arange(num), self.num_noise_levels)
+        return jnp.asarray(u.reshape(pshape if pshape else ()), dtype)
+
+    def quantize(self, y, offset=None):
+        # Eval-mode quantization must land on the same dithered grid the
+        # compress/decompress pair uses, not a zero-offset grid.
+        if offset is None:
+            offset = self.dither_offsets(jnp.result_type(y))
+        return super().quantize(y, offset)
+
     def __call__(self, y, rng=None, training: bool = True):
         """Training call with the expectation-consistent gradient.
 
@@ -161,6 +176,27 @@ class UniversalIndexedEntropyModel(ContinuousIndexedEntropyModel):
         if self._offset_override is not None:
             return self._offset_override
         return super()._table_offsets(prior)
+
+    def __call__(self, y, indexes, rng=None, training: bool = True):
+        if training:
+            return super().__call__(y, indexes, rng=rng, training=True)
+        # Eval must quantize onto the per-position dithered grid the codec
+        # uses (round(y-u)+u), not the integer grid.
+        from compression_tpu.ops.round_ops import round_st
+
+        norm_idx = self._normalize_indexes(indexes)
+        prior = self._make_prior(norm_idx)
+        unit = jnp.shape(y)[jnp.ndim(y) - self.coding_rank :]
+        m = int(np.prod(unit))
+        u = jnp.asarray(
+            self._position_dither(m).reshape(unit), jnp.result_type(y)
+        )
+        y_hat = round_st(y - u) + u
+        log2_p = self._log2_prob(prior, y_hat)
+        bits = -jnp.sum(
+            log2_p, axis=tuple(range(jnp.ndim(y) - self.coding_rank, jnp.ndim(y)))
+        )
+        return y_hat, bits
 
     def _position_levels(self, unit_size: int) -> np.ndarray:
         u = (np.arange(unit_size, dtype=np.float64) * _PHI + 0.5 * _PHI) % 1.0

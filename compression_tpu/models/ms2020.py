@@ -266,12 +266,24 @@ class Codec:
 
     def __init__(self, model: MS2020Model, params):
         self.cfg = model.config
+        from compression_tpu.models.codec_cache import tables_via_disk
+
         hyperprior = model.apply(params, method=MS2020Model.get_hyperprior)
+        side_proto = ContinuousBatchedEntropyModel(hyperprior, coding_rank=3)
+        main_proto = LocationScaleIndexedEntropyModel(
+            NoisyNormal, coding_rank=3
+        )
+        tables = tables_via_disk(
+            lambda: {
+                "side": side_proto.build_tables(),
+                "main": main_proto._em.build_tables(),
+            }
+        )
         self.side_em = ContinuousBatchedEntropyModel(
-            hyperprior, coding_rank=3, compression=True
+            hyperprior, coding_rank=3, compression=True, tables=tables["side"]
         )
         self.em = LocationScaleIndexedEntropyModel(
-            NoisyNormal, coding_rank=3, compression=True
+            NoisyNormal, coding_rank=3, compression=True, tables=tables["main"]
         )
         self._encode = jax.jit(
             lambda x: model.apply(params, x, method=MS2020Model.encode_latents)

@@ -206,6 +206,40 @@ class TestUniversal:
         # Offsets differ across channels (that's the point).
         assert len(np.unique(model.tables.offset)) > 1
 
+    def test_eval_path_matches_codec_grid(self):
+        """training=False reconstructions == actual compress/decompress."""
+        prior = _make_prior(4, seed=12)
+        model = em.UniversalBatchedEntropyModel(
+            prior, coding_rank=3, compression=True
+        )
+        y = jnp.asarray(np.random.RandomState(13).randn(1, 4, 4, 4) * 2)
+        y_eval, _ = model(y, training=False)
+        y_codec = model.decompress(model.compress(y), (4, 4))
+        np.testing.assert_allclose(
+            np.asarray(y_eval), np.asarray(y_codec), atol=1e-5
+        )
+
+        idx_model = em.UniversalIndexedEntropyModel(
+            prior_fn=lambda loc, scale: NoisyNormal(loc=loc, scale=scale),
+            index_ranges=(6,),
+            parameter_fns={
+                "loc": lambda i: jnp.zeros_like(i),
+                "scale": lambda i: jnp.exp(-0.5 + 0.4 * i),
+            },
+            coding_rank=1,
+            compression=True,
+            num_noise_levels=4,
+        )
+        yv = jnp.asarray(np.random.RandomState(14).randn(25))
+        idx = jnp.asarray(np.random.RandomState(15).randint(0, 6, 25).astype(float))
+        yv_eval, _ = idx_model(yv, idx, training=False)
+        yv_codec = idx_model.decompress(
+            idx_model.compress(yv[None], idx[None]), idx[None]
+        )[0]
+        np.testing.assert_allclose(
+            np.asarray(yv_eval), np.asarray(yv_codec), atol=1e-5
+        )
+
     def test_batched_expected_grads(self):
         """perturb_and_apply path: rate gradient is the exact expected one."""
         prior = _make_prior(2, seed=11)
