@@ -129,7 +129,10 @@ _LAMBDA_LADDER = (0.0016, 0.0032, 0.0075, 0.015, 0.03, 0.045, 0.08, 0.14)
 
 
 def _ladder_lambda(quality: int) -> float:
-    quality = max(1, min(len(_LAMBDA_LADDER), quality))
+    if not 1 <= quality <= len(_LAMBDA_LADDER):
+        raise KeyError(
+            f"quality {quality} out of range 1..{len(_LAMBDA_LADDER)}"
+        )
     return _LAMBDA_LADDER[quality - 1]
 
 

@@ -132,6 +132,12 @@ def cmd_train(args) -> int:
     if family == "hific":
         from compression_tpu.models import hific
 
+        if args.lmbda is not None:
+            raise SystemExit(
+                "--lmbda does not apply to HiFiC (it uses target_rate + "
+                "loss weights from its named config; edit "
+                "models/hific/configs.py or pick hific-lo/mi/hi)"
+            )
         model, params, _ = hific.train(hific.get_config(args.model), tc)
     else:
         mod = importlib.import_module(f"compression_tpu.models.{family}")
@@ -161,6 +167,17 @@ def cmd_eval(args) -> int:
     paths = sorted(globlib.glob(args.glob))
     if not paths:
         raise FileNotFoundError(f"no images match {args.glob!r}")
+    # Metric choice is made once for the whole set: MS-SSIM needs >= 176px
+    # at the smallest dim; mixing single-scale SSIM rows into an MS-SSIM
+    # column (and its mean) would silently blend incompatible metrics.
+    sizes = [image_util.read_png(p).shape[:2] for p in paths]
+    use_ms = all(min(h, w) >= 176 for h, w in sizes)
+    metric_name = "msssim" if use_ms else "ssim"
+    if not use_ms:
+        print(
+            "note: images below 176px present — reporting single-scale "
+            "SSIM for the whole set instead of MS-SSIM"
+        )
     rows = []
     for path in paths:
         image = image_util.read_png(path)
@@ -174,19 +191,20 @@ def cmd_eval(args) -> int:
         )
         a = jnp.asarray(image, jnp.float32)
         b = jnp.asarray(recon, jnp.float32)
-        if min(image.shape[0], image.shape[1]) >= 176:
-            ms = float(image_util.msssim(a, b))
-        else:  # too small for 5-scale MS-SSIM; fall back to single-scale
-            ms = float(image_util.ssim(a, b))
+        ms = float(image_util.msssim(a, b) if use_ms else image_util.ssim(a, b))
         rows.append((os.path.basename(path), bpp, psnr, ms))
-        print(f"{rows[-1][0]:24s} bpp={bpp:.4f} psnr={psnr:.2f} msssim={ms:.4f}")
+        print(
+            f"{rows[-1][0]:24s} bpp={bpp:.4f} psnr={psnr:.2f} "
+            f"{metric_name}={ms:.4f}"
+        )
     mean = np.mean(np.array([(r[1], r[2], r[3]) for r in rows]), axis=0)
     print(
-        f"{'MEAN':24s} bpp={mean[0]:.4f} psnr={mean[1]:.2f} msssim={mean[2]:.4f}"
+        f"{'MEAN':24s} bpp={mean[0]:.4f} psnr={mean[1]:.2f} "
+        f"{metric_name}={mean[2]:.4f}"
     )
     if args.csv:
         with open(args.csv, "w") as f:
-            f.write("image,bpp,psnr,msssim\n")
+            f.write(f"image,bpp,psnr,{metric_name}\n")
             for name, bpp, psnr, ms in rows:
                 f.write(f"{name},{bpp:.6f},{psnr:.4f},{ms:.6f}\n")
             f.write(f"mean,{mean[0]:.6f},{mean[1]:.4f},{mean[2]:.6f}\n")

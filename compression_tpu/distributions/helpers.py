@@ -55,27 +55,30 @@ def estimate_tails(func: Callable, target, shape, dtype=jnp.float32):
 
     # Expanding bracket: grow [lo, hi] geometrically until the target is
     # enclosed. Cap the expansion; 2^64 covers any practical prior support.
-    def enclosed(lo, hi):
-        f_lo, f_hi = func(lo), func(hi)
+    # func values are carried in the loop state so each iteration evaluates
+    # func only on the endpoints it moved (func may be a full MLP forward).
+    def enclosed(f_lo, f_hi):
         lo_ok = jnp.where(increasing, f_lo <= target, f_lo >= target)
         hi_ok = jnp.where(increasing, f_hi >= target, f_hi <= target)
         return lo_ok & hi_ok
 
     def expand_cond(state):
-        lo, hi, it = state
-        return (it < 64) & ~jnp.all(enclosed(lo, hi))
+        _lo, _hi, f_lo, f_hi, it = state
+        return (it < 64) & ~jnp.all(enclosed(f_lo, f_hi))
 
     def expand_body(state):
-        lo, hi, it = state
-        ok = enclosed(lo, hi)
+        lo, hi, f_lo, f_hi, it = state
+        ok = enclosed(f_lo, f_hi)
         width = jnp.maximum(hi - lo, 1.0)
         lo = jnp.where(ok, lo, lo - width)
         hi = jnp.where(ok, hi, hi + width)
-        return lo, hi, it + 1
+        return lo, hi, func(lo), func(hi), it + 1
 
     lo = jnp.full(shape, -1.0, dtype)
     hi = jnp.full(shape, 1.0, dtype)
-    lo, hi, _ = jax.lax.while_loop(expand_cond, expand_body, (lo, hi, 0))
+    lo, hi, _f_lo, _f_hi, _ = jax.lax.while_loop(
+        expand_cond, expand_body, (lo, hi, func(lo), func(hi), 0)
+    )
 
     # Bisection: 60 iterations → interval width ~ 2^-60 * initial.
     def bisect_body(_, state):

@@ -15,8 +15,6 @@ convolution, channels-last, sharding along the H axis only, shard height
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -38,7 +36,6 @@ def sharded_signal_conv2d(x, kernel, mesh: Mesh, axis: str = "data",
     Returns:
       (N, H, W, Cout), sharded the same way.
     """
-    kh = kernel.shape[0]
     (pad_lo, pad_hi), _ = same_padding_for_kernel(kernel.shape[:2], corr)
     n_shards = mesh.shape[axis]
 
@@ -70,7 +67,7 @@ def sharded_signal_conv2d(x, kernel, mesh: Mesh, axis: str = "data",
         return y
 
     mapped = jax.shard_map(
-        partial(local),
+        local,
         mesh=mesh,
         in_specs=(P(None, axis, None, None), P()),
         out_specs=P(None, axis, None, None),

@@ -121,9 +121,17 @@ def _as_batch(x):
 
 
 def _avg_pool2(x):
-    return jax.lax.reduce_window(
+    # Count-normalized: at odd dims the edge window averages its real
+    # pixels only (zero-padding with a fixed /4 would halve edge values and
+    # diverge from the reference metric).
+    s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
-    ) / 4.0
+    )
+    ones = jnp.ones_like(x)
+    n = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+    )
+    return s / n
 
 
 @functools.partial(jax.jit, static_argnames=("max_val",))
