@@ -127,6 +127,7 @@ def cmd_train(args) -> int:
         patch_size=args.patch_size,
         steps=args.steps,
         checkpoint_dir=registry.model_dir(),
+        checkpoint_every=args.checkpoint_every,
         num_devices=args.num_devices,
     )
     if family == "hific":
@@ -254,6 +255,7 @@ def main(argv=None) -> int:
     sp.add_argument("--patch-size", type=int, default=256)
     sp.add_argument("--lmbda", type=float, default=None)
     sp.add_argument("--num-devices", type=int, default=1)
+    sp.add_argument("--checkpoint-every", type=int, default=500)
     sp.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)

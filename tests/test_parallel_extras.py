@@ -54,3 +54,18 @@ def test_toy_sources_train_and_roundtrip():
     assert x_hat.shape == x.shape
     assert len(strings) == 64
     assert sum(len(s) for s in strings) > 0
+
+
+def test_stage_timer_report():
+    from compression_tpu.util.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("encode"):
+        pass
+    with t.stage("encode"):
+        pass
+    with t.stage("decode"):
+        pass
+    rep = t.report()
+    assert "encode" in rep and "decode" in rep
+    assert t.counts["encode"] == 2
