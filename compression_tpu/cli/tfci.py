@@ -127,6 +127,7 @@ def cmd_train(args) -> int:
         patch_size=args.patch_size,
         steps=args.steps,
         checkpoint_dir=registry.model_dir(),
+        checkpoint_name=f"{args.model}.train.msgpack",
         checkpoint_every=args.checkpoint_every,
         num_devices=args.num_devices,
     )

@@ -47,6 +47,7 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_every: int = 5000
     checkpoint_dir: Optional[str] = None
+    checkpoint_name: str = "checkpoint.msgpack"  # per-model to avoid clashes
     seed: int = 0
     num_devices: int = 1               # data-parallel width (mesh axis)
 
@@ -155,7 +156,7 @@ def train_model(
     opt_state = tx.init(params)
     start_step = 0
     if cfg.checkpoint_dir:
-        resume_path = os.path.join(cfg.checkpoint_dir, "checkpoint.msgpack")
+        resume_path = os.path.join(cfg.checkpoint_dir, cfg.checkpoint_name)
         if os.path.exists(resume_path):
             try:
                 params, start_step, opt_state = load_checkpoint(
@@ -200,7 +201,9 @@ def train_model(
                 # Metrics sink (the reference's TensorBoard-scalars role):
                 # an append-only CSV next to the checkpoints.
                 os.makedirs(cfg.checkpoint_dir, exist_ok=True)
-                csv_path = os.path.join(cfg.checkpoint_dir, "metrics.csv")
+                csv_path = os.path.join(
+                    cfg.checkpoint_dir, cfg.checkpoint_name + ".metrics.csv"
+                )
                 new_file = not os.path.exists(csv_path)
                 with open(csv_path, "a") as f:
                     keys = sorted(m)
@@ -217,7 +220,7 @@ def train_model(
             step % cfg.checkpoint_every == 0 or step == cfg.steps
         ):
             save_checkpoint(
-                os.path.join(cfg.checkpoint_dir, "checkpoint.msgpack"),
+                os.path.join(cfg.checkpoint_dir, cfg.checkpoint_name),
                 params,
                 step,
                 opt_state,
