@@ -82,7 +82,7 @@ def _mbt2018(lmbda: float = 0.01):
         lmbda=lmbda, **_filter_kwargs(mbt2018.Config, _tiny_overrides())
     )
     return ModelEntry(
-        "mbt2018-mean",
+        "mbt2018",
         lambda: mbt2018.MBT2018Model(cfg),
         mbt2018.compress,
         mbt2018.decompress,
@@ -98,7 +98,7 @@ def _ms2020(lmbda: float = 0.01):
         lmbda=lmbda, **_filter_kwargs(ms2020.Config, _tiny_overrides())
     )
     return ModelEntry(
-        "ms2020-cc10",
+        "ms2020",
         lambda: ms2020.MS2020Model(cfg),
         ms2020.compress,
         ms2020.decompress,
