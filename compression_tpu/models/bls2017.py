@@ -167,19 +167,25 @@ class Codec:
         self.em = ContinuousBatchedEntropyModel(
             prior, coding_rank=model.config.coding_rank, compression=True
         )
-        self._analyze = jax.jit(
-            lambda x: model.apply(params, x, method=BLS2017Model.analyze)
+        # Params are passed as jit ARGUMENTS, never closed over: closure
+        # constants are embedded into the compiled program (HLO bloat; large
+        # models exceed remote-compile size limits), while argument buffers
+        # stay on device and cost nothing per call.
+        self._p = params
+        _analyze = jax.jit(
+            lambda p, x: model.apply(p, x, method=BLS2017Model.analyze)
         )
-        self._synthesize = jax.jit(
-            lambda y: jnp.clip(
+        _synthesize = jax.jit(
+            lambda p, y: jnp.clip(
                 jnp.round(
-                    model.apply(params, y, method=BLS2017Model.synthesize)
-                    * 255.0
+                    model.apply(p, y, method=BLS2017Model.synthesize) * 255.0
                 ),
                 0,
                 255,
             ).astype(jnp.uint8)
         )
+        self._analyze = lambda x: _analyze(self._p, x)
+        self._synthesize = lambda y: _synthesize(self._p, y)
 
     def compress(self, image: np.ndarray) -> bytes:
         x = jnp.asarray(image, jnp.float32)[None] / 255.0

@@ -258,12 +258,15 @@ class Codec:
         z_off = self.side_em.symbol_offset()
         self._z_off_host = np.asarray(z_off, np.float32)
 
-        def _encode_front(x_uint8):
+        # Params are jit ARGUMENTS, not closure constants (closure capture
+        # embeds the weights into the HLO — large models then exceed
+        # remote-compile size limits; argument buffers live on device).
+        def _encode_front_p(p, x_uint8):
             # uint8 in, normalize on device: 3x less host->device traffic
             # and zero eager dispatches on the hot path.
             x = x_uint8.astype(jnp.float32) / 255.0
             y, z = model.apply(
-                params, x, method=BMSHJ2018Model.encode_latents
+                p, x, method=BMSHJ2018Model.encode_latents
             )
             z_sym = jnp.round(z - z_off).astype(jnp.int32)
             y_sym = jnp.round(y).astype(jnp.int32)
@@ -281,10 +284,11 @@ class Codec:
                 z_sym,
             )
 
-        _front = jax.jit(_encode_front)
+        self._p = params
+        _front = jax.jit(_encode_front_p)
 
         def encode_front(x):
-            y16, z16, overflow, y32, z32 = _front(x)
+            y16, z16, overflow, y32, z32 = _front(self._p, x)
             if bool(jax.device_get(overflow)):
                 return (
                     np.asarray(jax.device_get(y32)),
@@ -297,16 +301,16 @@ class Codec:
             )
 
         self._encode_front = encode_front
-        self._sigma = jax.jit(
-            lambda z: model.apply(
-                params, z, method=BMSHJ2018Model.sigma_from_zhat
+        _sigma = jax.jit(
+            lambda p, z: model.apply(
+                p, z, method=BMSHJ2018Model.sigma_from_zhat
             )
         )
-        self._synthesize = jax.jit(
-            lambda y: jnp.clip(
+        _synthesize = jax.jit(
+            lambda p, y: jnp.clip(
                 jnp.round(
                     model.apply(
-                        params,
+                        p,
                         y.astype(jnp.float32),
                         method=BMSHJ2018Model.synthesize,
                     )
@@ -316,6 +320,8 @@ class Codec:
                 255,
             ).astype(jnp.uint8)
         )
+        self._sigma = lambda z: _sigma(self._p, z)
+        self._synthesize = lambda y: _synthesize(self._p, y)
 
     @staticmethod
     def _slim(values: np.ndarray) -> np.ndarray:

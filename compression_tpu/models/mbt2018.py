@@ -192,14 +192,20 @@ class Codec:
         self.em = LocationScaleIndexedEntropyModel(
             NoisyNormal, coding_rank=3, compression=True, tables=tables["main"]
         )
-        self._encode = jax.jit(
-            lambda x: model.apply(params, x, method=MBT2018Model.encode_latents)
+        # Params are jit ARGUMENTS, not closure constants (closure capture
+        # embeds weights into the HLO; large models exceed remote-compile
+        # limits). self._p is device-resident, so calls cost nothing extra.
+        self._p = params
+        _encode = jax.jit(
+            lambda p, x: model.apply(p, x, method=MBT2018Model.encode_latents)
         )
-        self._params = jax.jit(
-            lambda z: model.apply(
-                params, z, method=MBT2018Model.params_from_zhat
+        _hparams = jax.jit(
+            lambda p, z: model.apply(
+                p, z, method=MBT2018Model.params_from_zhat
             )
         )
+        self._encode = lambda x: _encode(self._p, x)
+        self._params = lambda z: _hparams(self._p, z)
         # Shared coder-boundary jits (identical compiled code on encode and
         # decode so symbol/row math cannot diverge; see bmshj2018.Codec).
         self._center_round = jax.jit(
@@ -208,16 +214,16 @@ class Codec:
         self._apply_loc = jax.jit(
             lambda v, mu: v.astype(jnp.float32) + mu
         )
-        self._synthesize = jax.jit(
-            lambda y: jnp.clip(
+        _synthesize = jax.jit(
+            lambda p, y: jnp.clip(
                 jnp.round(
-                    model.apply(params, y, method=MBT2018Model.synthesize)
-                    * 255.0
+                    model.apply(p, y, method=MBT2018Model.synthesize) * 255.0
                 ),
                 0,
                 255,
             ).astype(jnp.uint8)
         )
+        self._synthesize = lambda y: _synthesize(self._p, y)
 
     def compress(self, image: np.ndarray) -> bytes:
         x = jnp.asarray(image, jnp.float32)[None] / 255.0

@@ -285,26 +285,36 @@ class Codec:
         self.em = LocationScaleIndexedEntropyModel(
             NoisyNormal, coding_rank=3, compression=True, tables=tables["main"]
         )
-        self._encode = jax.jit(
-            lambda x: model.apply(params, x, method=MS2020Model.encode_latents)
+        # Params are jit ARGUMENTS, not closure constants (closure capture
+        # embeds weights into the HLO; large models exceed remote-compile
+        # limits). self._p is device-resident, so calls cost nothing extra.
+        self._p = params
+        _encode = jax.jit(
+            lambda p, x: model.apply(p, x, method=MS2020Model.encode_latents)
         )
-        self._supports = jax.jit(
-            lambda z: model.apply(
-                params, z, method=MS2020Model.supports_from_zhat
+        _supports = jax.jit(
+            lambda p, z: model.apply(
+                p, z, method=MS2020Model.supports_from_zhat
             )
         )
-        self._slice_params = jax.jit(
-            lambda i, ms, ss, dec: model.apply(
-                params, i, ms, ss, dec, method=MS2020Model.slice_params
+        _slice_params = jax.jit(
+            lambda i, p, ms, ss, dec: model.apply(
+                p, i, ms, ss, dec, method=MS2020Model.slice_params
             ),
             static_argnums=0,
         )
-        self._slice_lrp = jax.jit(
-            lambda i, ms, dec: model.apply(
-                params, i, ms, dec, method=MS2020Model.slice_lrp
+        _slice_lrp = jax.jit(
+            lambda i, p, ms, dec: model.apply(
+                p, i, ms, dec, method=MS2020Model.slice_lrp
             ),
             static_argnums=0,
         )
+        self._encode = lambda x: _encode(self._p, x)
+        self._supports = lambda z: _supports(self._p, z)
+        self._slice_params = lambda i, ms, ss, dec: _slice_params(
+            i, self._p, ms, ss, dec
+        )
+        self._slice_lrp = lambda i, ms, dec: _slice_lrp(i, self._p, ms, dec)
         # Tiny shared jits for the coder boundary: identical compiled code
         # on the encode and decode side, so symbol/row/reconstruction math
         # can never diverge between them (see bmshj2018.Codec notes).
@@ -314,23 +324,26 @@ class Codec:
         self._apply_loc = jax.jit(
             lambda v, mu: v.astype(jnp.float32) + mu
         )
-        self._finish_slice = jax.jit(
-            lambda i, ms, dec, y_hat_i: y_hat_i
+        _finish_slice = jax.jit(
+            lambda i, p, ms, dec, y_hat_i: y_hat_i
             + model.apply(
-                params, i, ms, dec + [y_hat_i], method=MS2020Model.slice_lrp
+                p, i, ms, dec + [y_hat_i], method=MS2020Model.slice_lrp
             ),
             static_argnums=0,
         )
-        self._synthesize = jax.jit(
-            lambda y: jnp.clip(
+        self._finish_slice = lambda i, ms, dec, y_hat_i: _finish_slice(
+            i, self._p, ms, dec, y_hat_i
+        )
+        _synthesize = jax.jit(
+            lambda p, y: jnp.clip(
                 jnp.round(
-                    model.apply(params, y, method=MS2020Model.synthesize)
-                    * 255.0
+                    model.apply(p, y, method=MS2020Model.synthesize) * 255.0
                 ),
                 0,
                 255,
             ).astype(jnp.uint8)
         )
+        self._synthesize = lambda y: _synthesize(self._p, y)
 
     def compress(self, image: np.ndarray) -> bytes:
         cfg = self.cfg
