@@ -127,9 +127,11 @@ class UniversalIndexedEntropyModel(ContinuousIndexedEntropyModel):
         coding_rank: int,
         *,
         num_noise_levels: int = 15,
+        expected_grads: bool = True,
         **kwargs,
     ):
         self.num_noise_levels = int(num_noise_levels)
+        self.expected_grads = bool(expected_grads)
         super().__init__(
             prior_fn, index_ranges, parameter_fns, coding_rank, **kwargs
         )
@@ -179,7 +181,27 @@ class UniversalIndexedEntropyModel(ContinuousIndexedEntropyModel):
 
     def __call__(self, y, indexes, rng=None, training: bool = True):
         if training:
-            return super().__call__(y, indexes, rng=rng, training=True)
+            if not self.expected_grads:
+                return super().__call__(y, indexes, rng=rng, training=True)
+            if rng is None:
+                raise ValueError("training=True requires an rng key")
+            from compression_tpu.ops.math_ops import perturb_and_apply
+
+            norm_idx = self._normalize_indexes(indexes)
+            prior = self._make_prior(norm_idx)
+            u = jax.random.uniform(
+                rng, jnp.shape(y), jnp.result_type(y), -0.5, 0.5
+            )
+            # prior is a pytree ARGUMENT of f (not a closure) so index
+            # gradients flow through perturb_and_apply's vjp of *args.
+            log2_p = perturb_and_apply(
+                lambda t, pr: self._log2_prob(pr, t), y, u, prior
+            )
+            bits = -jnp.sum(
+                log2_p,
+                axis=tuple(range(jnp.ndim(y) - self.coding_rank, jnp.ndim(y))),
+            )
+            return y + u, bits
         # Eval must quantize onto the per-position dithered grid the codec
         # uses (round(y-u)+u), not the integer grid.
         from compression_tpu.ops.round_ops import round_st

@@ -256,6 +256,26 @@ class TestUniversal:
         want = -(lp(np.asarray(y) + 0.5) - lp(np.asarray(y) - 0.5))
         np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-6)
 
+    def test_indexed_expected_grads_flow_to_indexes(self):
+        model = em.UniversalIndexedEntropyModel(
+            prior_fn=lambda loc, scale: NoisyNormal(loc=loc, scale=scale),
+            index_ranges=(8,),
+            parameter_fns={
+                "loc": lambda i: jnp.zeros_like(i),
+                "scale": lambda i: jnp.exp(-1.0 + 0.5 * i),
+            },
+            coding_rank=1,
+        )
+        y = jnp.asarray(np.random.RandomState(20).randn(16))
+        idx = jnp.asarray(np.random.RandomState(21).uniform(1, 6, 16))
+
+        def loss(ii):
+            _, bits = model(y, ii, rng=jax.random.PRNGKey(0), training=True)
+            return jnp.sum(bits)
+
+        g = np.asarray(jax.grad(loss)(idx))
+        assert np.all(np.isfinite(g)) and np.any(g != 0)
+
     def test_indexed_roundtrip(self):
         model = em.UniversalIndexedEntropyModel(
             prior_fn=lambda loc, scale: NoisyNormal(loc=loc, scale=scale),
