@@ -72,11 +72,16 @@ def main():
     if os.path.exists(ckpt):
         params, _ = common.load_checkpoint(ckpt, params)
     else:
+        import contextlib
+        import sys
+
         tc = common.TrainConfig(
             train_glob=None, batch_size=2, patch_size=128, steps=60,
             log_every=60,
         )
-        _, params = bmshj2018.train(bmshj2018.Config(), tc, params=params)
+        # stdout must stay clean: the driver parses the single JSON line.
+        with contextlib.redirect_stdout(sys.stderr):
+            _, params = bmshj2018.train(bmshj2018.Config(), tc, params=params)
         common.save_checkpoint(ckpt, params, step=60)
 
     # Un-commit from the CPU: closed-over params committed to another
