@@ -43,12 +43,14 @@ def _filter_kwargs(cfg_cls, kw: dict) -> dict:
     return {k: v for k, v in kw.items() if k in names}
 
 
-def _bls2017(lmbda: float = 0.01):
+def _bls2017(lmbda: float = 0.01, name: Optional[str] = None):
     from compression_tpu.models import bls2017
 
     cfg = bls2017.Config(
         lmbda=lmbda, **_filter_kwargs(bls2017.Config, _tiny_overrides())
     )
+    if name:
+        cfg = dataclasses.replace(cfg, model_name=name)
     return ModelEntry(
         "bls2017",
         lambda: bls2017.BLS2017Model(cfg),
@@ -59,12 +61,14 @@ def _bls2017(lmbda: float = 0.01):
     )
 
 
-def _bmshj2018(lmbda: float = 0.01):
+def _bmshj2018(lmbda: float = 0.01, name: Optional[str] = None):
     from compression_tpu.models import bmshj2018
 
     cfg = bmshj2018.Config(
         lmbda=lmbda, **_filter_kwargs(bmshj2018.Config, _tiny_overrides())
     )
+    if name:
+        cfg = dataclasses.replace(cfg, model_name=name)
     return ModelEntry(
         "bmshj2018",
         lambda: bmshj2018.BMSHJ2018Model(cfg),
@@ -75,12 +79,14 @@ def _bmshj2018(lmbda: float = 0.01):
     )
 
 
-def _mbt2018(lmbda: float = 0.01):
+def _mbt2018(lmbda: float = 0.01, name: Optional[str] = None):
     from compression_tpu.models import mbt2018
 
     cfg = mbt2018.Config(
         lmbda=lmbda, **_filter_kwargs(mbt2018.Config, _tiny_overrides())
     )
+    if name:
+        cfg = dataclasses.replace(cfg, model_name=name)
     return ModelEntry(
         "mbt2018",
         lambda: mbt2018.MBT2018Model(cfg),
@@ -91,12 +97,14 @@ def _mbt2018(lmbda: float = 0.01):
     )
 
 
-def _ms2020(lmbda: float = 0.01):
+def _ms2020(lmbda: float = 0.01, name: Optional[str] = None):
     from compression_tpu.models import ms2020
 
     cfg = ms2020.Config(
         lmbda=lmbda, **_filter_kwargs(ms2020.Config, _tiny_overrides())
     )
+    if name:
+        cfg = dataclasses.replace(cfg, model_name=name)
     return ModelEntry(
         "ms2020",
         lambda: ms2020.MS2020Model(cfg),
@@ -108,10 +116,14 @@ def _ms2020(lmbda: float = 0.01):
 
 
 def _hific(name: str):
-    def make(_lmbda: float) -> ModelEntry:
+    def make(_lmbda: float, requested: Optional[str] = None) -> ModelEntry:
         from compression_tpu.models import hific
 
         cfg = hific.get_config(name)
+        if requested and requested != cfg.name:
+            # Keep the self-describing .tfci name equal to the resolved
+            # registry name so decompress round-trips to this checkpoint.
+            cfg = dataclasses.replace(cfg, name=requested)
         return ModelEntry(
             "hific",
             lambda: hific.HificModel(cfg),
@@ -136,8 +148,9 @@ def _ladder_lambda(quality: int) -> float:
     return _LAMBDA_LADDER[quality - 1]
 
 
-# Base builders; quality-suffixed names resolve through `resolve`.
-REGISTRY: Dict[str, Callable[[float], ModelEntry]] = {
+# Base builders (lmbda, requested_name) -> ModelEntry; quality-suffixed
+# names resolve through `resolve`.
+REGISTRY: Dict[str, Callable[..., ModelEntry]] = {
     "bls2017-factorized-mse": _bls2017,
     "bmshj2018-hyperprior": _bmshj2018,
     "bmshj2018-hyperprior-mse": _bmshj2018,
@@ -180,6 +193,12 @@ def resolve(name: str) -> Tuple[ModelEntry, Optional[str]]:
             f"unknown model {name!r}; known: {', '.join(list_models())}"
         )
     lmbda = _ladder_lambda(quality) if quality is not None else 0.01
-    entry = REGISTRY[base](lmbda)
+    # Propagate the *requested* name into the config: compress() packs
+    # config.model_name into the self-describing .tfci blob, and decompress()
+    # resolves that packed name back to a checkpoint — so the packed name
+    # must always equal the name the user encoded with, or aliases and
+    # quality-suffixed names desync from their checkpoints (advisor finding,
+    # round 1).
+    entry = REGISTRY[base](lmbda, name)
     ckpt = os.path.join(model_dir(), f"{name}.msgpack")
     return entry, (ckpt if os.path.exists(ckpt) else None)

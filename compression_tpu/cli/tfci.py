@@ -60,14 +60,16 @@ def _load_model(name: str, allow_random: bool = False):
     params = jax.device_put(params, jax.devices()[0])
     if ckpt is not None:
         from compression_tpu.models.common import load_checkpoint
+        from compression_tpu.models.codec_cache import register_table_cache
 
         params, _ = load_checkpoint(ckpt, params)
         # Persist range-coder tables next to the checkpoint (keyed by its
-        # mtime/size so retraining invalidates them).
+        # mtime/size so retraining invalidates them). Bound to THIS params
+        # pytree — a process that loads several models must not share one
+        # process-global table path.
         st = os.stat(ckpt)
-        os.environ.setdefault(
-            "TPC_TABLE_CACHE_FILE",
-            f"{ckpt}.{st.st_mtime_ns}.{st.st_size}.tables.npz",
+        register_table_cache(
+            params, f"{ckpt}.{st.st_mtime_ns}.{st.st_size}.tables.npz"
         )
     return entry, model, params
 

@@ -242,7 +242,8 @@ class Codec:
             lambda: {
                 "side": side_proto.build_tables(),
                 "main": main_proto._em.build_tables(),
-            }
+            },
+            key_obj=params,
         )
         self.side_em = ContinuousBatchedEntropyModel(
             hyperprior, coding_rank=3, compression=True, tables=tables["side"]

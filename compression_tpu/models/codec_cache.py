@@ -11,21 +11,38 @@ first thing the bench exposed).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
-__all__ = ["cached"]
+__all__ = ["cached", "register_table_cache", "tables_via_disk"]
 
 _CACHE: Dict[int, Tuple[Any, Any]] = {}
 
+# id(params) -> (params, table cache path). Registered by checkpoint loaders
+# (CLI, bench) so each params pytree is bound to ITS OWN on-disk table file —
+# a process-global env var would silently serve model A's CDF tables to
+# model B in a long-lived process that loads several checkpoints (advisor
+# finding, round 1). $TPC_TABLE_CACHE_FILE remains as a single-model
+# fallback for scripts.
+_TABLE_PATHS: Dict[int, Tuple[Any, str]] = {}
 
-def tables_via_disk(build: Callable[[], Dict[str, Any]]) -> Dict[str, Any]:
-    """Loads/saves named CDF tables at $TPC_TABLE_CACHE_FILE when set.
+
+def register_table_cache(key_obj, path: str) -> None:
+    """Binds an on-disk CDF-table cache path to a params pytree."""
+    if len(_TABLE_PATHS) > 16:
+        _TABLE_PATHS.pop(next(iter(_TABLE_PATHS)))
+    _TABLE_PATHS[id(key_obj)] = (key_obj, path)
+
+
+def tables_via_disk(
+    build: Callable[[], Dict[str, Any]], key_obj=None
+) -> Dict[str, Any]:
+    """Loads/saves named CDF tables bound to ``key_obj`` (see
+    :func:`register_table_cache`), falling back to $TPC_TABLE_CACHE_FILE.
 
     Table building is seconds-to-minutes of host math per trained model but
-    a pure function of the checkpoint; the CLI sets the env var to a path
-    derived from the checkpoint file so every process after the first loads
-    the integer tables directly. (The reference gets the same effect by
-    storing CDF tables as variables inside its checkpoints.)
+    a pure function of the checkpoint, so every process after the first
+    loads the integer tables directly. (The reference gets the same effect
+    by storing CDF tables as variables inside its checkpoints.)
     """
     import os
 
@@ -34,7 +51,13 @@ def tables_via_disk(build: Callable[[], Dict[str, Any]]) -> Dict[str, Any]:
         save_tables,
     )
 
-    path = os.environ.get("TPC_TABLE_CACHE_FILE")
+    path: Optional[str] = None
+    if key_obj is not None:
+        entry = _TABLE_PATHS.get(id(key_obj))
+        if entry is not None and entry[0] is key_obj:
+            path = entry[1]
+    if path is None:
+        path = os.environ.get("TPC_TABLE_CACHE_FILE")
     if path and os.path.exists(path):
         return load_tables(path)
     tables = build()

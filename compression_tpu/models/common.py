@@ -172,6 +172,11 @@ def train_model(
     if cfg.num_devices > 1:
         from compression_tpu.parallel.data_parallel import make_dp_step
 
+        if cfg.batch_size % cfg.num_devices:
+            raise ValueError(
+                f"batch_size ({cfg.batch_size}) must be divisible by "
+                f"num_devices ({cfg.num_devices}) for data parallelism"
+            )
         step_fn = make_dp_step(loss_fn, tx, cfg.num_devices)
     else:
 

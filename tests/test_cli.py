@@ -78,3 +78,42 @@ def test_unknown_model(cli_env):
     _, png, _ = cli_env
     with pytest.raises(KeyError):
         _main(["compress", "not-a-model", png])
+
+
+def test_registry_propagates_requested_name():
+    """The packed .tfci model name must equal the requested registry name,
+    or alias/quality-suffixed encodes desync from their checkpoints on
+    decode (advisor finding, round 1)."""
+    from compression_tpu.cli import registry
+
+    for name in (
+        "bmshj2018",                      # alias != family default name
+        "bmshj2018-hyperprior-mse-6",     # quality-suffixed
+        "mbt2018",
+        "ms2020-cc10-mse-3",
+        "bls2017-factorized-mse",
+    ):
+        entry, _ = registry.resolve(name)
+        assert entry.config.model_name == name, name
+    # HiFiC packs config.name instead.
+    entry, _ = registry.resolve("hific-lo")
+    cfg = entry.make_model().config
+    assert cfg.name == "hific-lo"
+
+
+def test_full_cycle_alias_name_roundtrip(cli_env):
+    """Advisor repro: train via alias 'bmshj2018' -> compress -> decompress
+    must resolve back to the same checkpoint (packed name == alias)."""
+    tmp_path, png, img = cli_env
+    assert _main([
+        "train", "bmshj2018", "--steps", "2", "--batch-size", "2",
+        "--patch-size", "64",
+    ]) == 0
+    tfci = str(tmp_path / "alias.tfci")
+    out_png = str(tmp_path / "alias.png")
+    assert _main(["compress", "bmshj2018", png, tfci]) == 0
+    from compression_tpu.util import PackedTensors
+
+    assert PackedTensors(open(tfci, "rb").read()).model == "bmshj2018"
+    assert _main(["decompress", tfci, out_png]) == 0
+    assert image_util.read_png(out_png).shape == img.shape

@@ -8,7 +8,8 @@ import optax
 
 
 def test_dp_step_matches_single_device():
-    """DP over 4 virtual devices == single-device step (same math)."""
+    """DP over 4 virtual devices == a single-device step computing the
+    identical math: mean over per-shard grads with the same folded rngs."""
     from compression_tpu.models import bls2017
     from compression_tpu.parallel.data_parallel import (
         make_dp_step,
@@ -16,10 +17,11 @@ def test_dp_step_matches_single_device():
         shard_batch,
     )
 
+    n = 4
     cfg = bls2017.Config(num_filters=4)
     model = bls2017.BLS2017Model(cfg)
     batch = jnp.asarray(
-        np.random.RandomState(0).rand(4, 32, 32, 3), jnp.float32
+        np.random.RandomState(0).rand(n, 32, 32, 3), jnp.float32
     )
     params = model.init(
         jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), training=True
@@ -27,19 +29,41 @@ def test_dp_step_matches_single_device():
     loss_fn = bls2017.make_loss_fn(model)
     tx = optax.adam(1e-4)
     opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(2)
 
-    step = make_dp_step(loss_fn, tx, 4)
-    mesh = make_mesh(4)
-    sharded = shard_batch(batch, mesh)
+    step = make_dp_step(loss_fn, tx, n)
+    mesh = make_mesh(n)
     new_params, _, metrics = step(
-        params, opt_state, sharded, jax.random.PRNGKey(2)
+        params, opt_state, shard_batch(batch, mesh), rng
     )
     assert np.isfinite(float(metrics["loss"]))
-    # Parameters actually moved.
-    moved = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.max(jnp.abs(a - b))), params, new_params
+
+    # Reference: the same update computed WITHOUT shard_map. The DP step
+    # folds the device index into the rng per shard and pmeans grads, so
+    # the equivalent single-device computation is the mean of per-shard
+    # grads, each with its folded rng.
+    def mean_loss(p):
+        losses = []
+        for d in range(n):
+            shard = batch[d : d + 1]
+            loss, _ = loss_fn(p, shard, jax.random.fold_in(rng, d))
+            losses.append(loss)
+        return jnp.mean(jnp.stack(losses))
+
+    ref_loss, ref_grads = jax.value_and_grad(mean_loss)(params)
+    updates, _ = tx.update(ref_grads, opt_state, params)
+    ref_params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_loss), rtol=1e-5
     )
-    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_params),
+        jax.tree_util.tree_leaves(ref_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
 
 
 def test_dp_grads_are_synchronized():
@@ -65,9 +89,19 @@ def test_dp_grads_are_synchronized():
     new_params, _, _ = step(
         params, tx.init(params), shard_batch(batch, mesh), jax.random.PRNGKey(2)
     )
-    # Replicated output: value must be consistent (fully addressable, one value).
-    leaf = jax.tree_util.tree_leaves(new_params)[0]
-    assert np.all(np.isfinite(np.asarray(leaf)))
+    # Every device's replica of every updated parameter must be bit-identical
+    # (pmean'd grads + replicated update): compare the per-device shards.
+    checked = 0
+    for leaf in jax.tree_util.tree_leaves(new_params):
+        shards = getattr(leaf, "addressable_shards", None)
+        if not shards:
+            continue
+        ref = np.asarray(shards[0].data)
+        assert np.all(np.isfinite(ref))
+        for s in shards[1:]:
+            np.testing.assert_array_equal(np.asarray(s.data), ref)
+            checked += 1
+    assert checked > 0, "expected replicated leaves with >1 device shard"
 
 
 def test_graft_entry_dryrun():
