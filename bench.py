@@ -34,12 +34,19 @@ def main():
 
     from compression_tpu.models import bmshj2018
 
-    cfg = bmshj2018.Config()
+    # TPC_BENCH_TINY=1: shrunken end-to-end smoke of the bench plumbing
+    # (CI / CPU); the reported number is NOT the product metric then.
+    tiny = os.environ.get("TPC_BENCH_TINY") == "1"
+    cfg = (
+        bmshj2018.Config(num_filters=8, num_latents=8, num_hyperlatents=4)
+        if tiny
+        else bmshj2018.Config()
+    )
     model = bmshj2018.BMSHJ2018Model(cfg)
     # Structured synthetic image (gradients + texture + edges): natural-ish
     # statistics. White noise would flood the coder's escape path and
     # measure a pathological case instead of codec throughput.
-    h, w = 512, 768
+    h, w = (128, 192) if tiny else (512, 768)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     image = np.stack(
         [
@@ -53,7 +60,7 @@ def main():
     image = np.clip(
         image + np.random.RandomState(0).randn(h, w, 3) * 4, 0, 255
     ).astype(np.uint8)
-    x0 = np.zeros((1, 512, 768, 3), np.float32)
+    x0 = np.zeros((1, h, w, 3), np.float32)
     # Init on host CPU (values are arbitrary for a throughput bench; no
     # need to compile the init program for the accelerator). The codec jits
     # close over the params, so they are shipped to the device once.
@@ -66,7 +73,10 @@ def main():
     # symbol out of range), understating real throughput ~2x. Briefly
     # train once so symbol statistics look like a real codec's; the
     # checkpoint is cached so only the first-ever bench run pays this.
-    ckpt = "/tmp/tpc_bench_ckpt.msgpack"
+    ckpt = (
+        "/tmp/tpc_bench_ckpt_tiny.msgpack" if tiny
+        else "/tmp/tpc_bench_ckpt.msgpack"
+    )
     from compression_tpu.models import common
 
     if os.path.exists(ckpt):
@@ -76,12 +86,12 @@ def main():
         import sys
 
         tc = common.TrainConfig(
-            train_glob=None, batch_size=2, patch_size=128, steps=60,
-            log_every=60,
+            train_glob=None, batch_size=2, patch_size=128,
+            steps=5 if tiny else 60, log_every=60,
         )
         # stdout must stay clean: the driver parses the single JSON line.
         with contextlib.redirect_stdout(sys.stderr):
-            _, params = bmshj2018.train(bmshj2018.Config(), tc, params=params)
+            _, params = bmshj2018.train(cfg, tc, params=params)
         common.save_checkpoint(ckpt, params, step=60)
 
     # Un-commit from the CPU: closed-over params committed to another
@@ -89,13 +99,16 @@ def main():
     params = jax.device_put(params, jax.devices()[0])
 
     # Persist range-coder tables keyed by the checkpoint identity.
+    from compression_tpu.models.codec_cache import register_table_cache
+
     st = os.stat(ckpt)
-    os.environ.setdefault(
-        "TPC_TABLE_CACHE_FILE", f"{ckpt}.{st.st_mtime_ns}.tables.npz"
-    )
+    register_table_cache(params, f"{ckpt}.{st.st_mtime_ns}.tables.npz")
 
     # Batched serving path: N images per device dispatch, native coder
-    # fanning streams across host threads.
+    # fanning streams across host threads, double-buffered so the TPU
+    # transforms batch i+1 while the host range-codes batch i.
+    import sys
+
     batch = 8
     images = np.stack([image] * batch)
     codec = bmshj2018.make_codec(model, params)
@@ -105,13 +118,37 @@ def main():
     out = codec.decompress_batch(blobs)
     assert out.shape == images.shape
 
-    rounds = 4
+    rounds = 3 if tiny else 6
+    # Fresh timer for the measured region only.
+    from compression_tpu.util.profiling import StageTimer
+
+    codec.timer = StageTimer()
     t0 = time.perf_counter()
-    for _ in range(rounds):
-        blobs = codec.compress_batch(images)
-        out = codec.decompress_batch(blobs)
+    blob_stream = list(
+        codec.compress_iter((images for _ in range(rounds)), depth=2)
+    )
+    t_enc = time.perf_counter()
+    outs = list(codec.decompress_iter(iter(blob_stream), depth=2))
     dt = time.perf_counter() - t0
+    t_dec = dt - (t_enc - t0)
+    assert len(outs) == rounds and outs[0].shape == images.shape
     img_per_s = rounds * batch / dt
+
+    # Per-stage attribution (stderr; stdout stays one JSON line). The
+    # pipelined wall time per phase should approach max(stage sums), not
+    # their total — that gap is the measured device/host overlap.
+    n_imgs = rounds * batch
+    print(codec.timer.report(), file=sys.stderr)
+    enc_s = sum(v for k, v in codec.timer.totals.items() if k.startswith("enc/"))
+    dec_s = sum(v for k, v in codec.timer.totals.items() if k.startswith("dec/"))
+    print(
+        f"encode: wall {t_enc - t0:.3f}s vs stage-sum {enc_s:.3f}s "
+        f"(overlap hidden {enc_s - (t_enc - t0):.3f}s); "
+        f"decode: wall {t_dec:.3f}s vs stage-sum {dec_s:.3f}s "
+        f"(overlap hidden {dec_s - t_dec:.3f}s); "
+        f"{n_imgs} imgs, {img_per_s:.3f} img/s end-to-end",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(

@@ -32,7 +32,10 @@ class ModelEntry:
 def _tiny_overrides() -> dict:
     """TPC_TINY_MODELS=1 shrinks every registry model (CI / smoke tests)."""
     if os.environ.get("TPC_TINY_MODELS") == "1":
-        return dict(num_filters=8, num_latents=8, num_hyperlatents=4)
+        # num_slices must divide num_latents (ms2020).
+        return dict(
+            num_filters=8, num_latents=8, num_hyperlatents=4, num_slices=4
+        )
     return {}
 
 

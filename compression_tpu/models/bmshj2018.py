@@ -228,13 +228,55 @@ def train(cfg: Config, train_cfg: common.TrainConfig, params=None):
 # ---------------------------------------------------------------------------
 
 
+class _EncodeWork:
+    """In-flight encode state: device futures + host-side shape info."""
+
+    __slots__ = ("y8", "y16", "z16", "rows", "fits", "y32", "z32", "hw",
+                 "zshape", "n")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class _DecodeWork:
+    __slots__ = ("rows", "y_strings", "shape", "xshape")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
 class Codec:
-    """Jitted transforms + prebuilt CDF tables for a trained model."""
+    """Jitted transforms + prebuilt CDF tables for a trained model.
+
+    The product coding path is *pipelined* (SURVEY.md §3.2: the reference
+    serializes transforms -> blocking C++ range coding per batch; BASELINE
+    config #2 wants them overlapped). Structure:
+
+    * encode: ONE async dispatch chain on device (transforms -> symbols ->
+      z_hat -> sigma -> CDF rows; zero host round-trips), then one
+      device_get + native range coding on a worker thread;
+    * :meth:`compress_iter` / :meth:`decompress_iter` double-buffer batches
+      through :class:`compression_tpu.parallel.pipeline.Pipeline`, so the
+      TPU transforms batch i+1 while host threads entropy-code batch i;
+    * every stage is accounted in ``self.timer`` (StageTimer) — bench.py
+      prints the table so the overlap is measured, not asserted.
+
+    Bit-exactness invariant: the pieces the decoder must reproduce exactly
+    (z_hat -> sigma -> CDF rows) go through jits SHARED by the encode and
+    decode paths (``self._sigma``, ``self.em.rows``), and z_hat is formed
+    as ``int_symbols + f32_offset`` (exact in f32) on both sides, so
+    encoder and decoder can never disagree on a CDF row due to different
+    XLA fusions.
+    """
 
     def __init__(self, model: BMSHJ2018Model, params):
         from compression_tpu.models.codec_cache import tables_via_disk
+        from compression_tpu.util.profiling import StageTimer
 
         self.cfg = model.config
+        self.timer = StageTimer()
         hyperprior = model.apply(params, method=BMSHJ2018Model.get_hyperprior)
         side_proto = ContinuousBatchedEntropyModel(hyperprior, coding_rank=3)
         main_proto = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
@@ -251,11 +293,6 @@ class Codec:
         self.em = LocationScaleIndexedEntropyModel(
             NoisyNormal, coding_rank=3, compression=True, tables=tables["main"]
         )
-        # Encoder front half in ONE jit: transforms + z symbols. The pieces
-        # the decoder must reproduce bit-exactly (z_hat -> sigma -> CDF
-        # rows) deliberately go through jits SHARED with the decode path
-        # (self._sigma, self.em.rows) so encoder and decoder can never
-        # disagree on a CDF row due to different XLA fusions.
         z_off = self.side_em.symbol_offset()
         self._z_off_host = np.asarray(z_off, np.float32)
 
@@ -271,37 +308,30 @@ class Codec:
             )
             z_sym = jnp.round(z - z_off).astype(jnp.int32)
             y_sym = jnp.round(y).astype(jnp.int32)
-            # Ship int16 over the host link (half the bytes); symbols of a
-            # sane model are tiny. The overflow flag forces the (never in
-            # practice) exact int32 refetch path.
-            overflow = jnp.any(jnp.abs(y_sym) > 32767) | jnp.any(
-                jnp.abs(z_sym) > 32767
+            # z_hat exactly as the decoder forms it: integer symbols + f32
+            # offset — both addends exact in f32, so the device add is
+            # bit-equal to the decoder's host add, and the SHARED _sigma
+            # jit sees identical inputs on both paths.
+            z_hat = z_sym.astype(jnp.float32) + z_off
+            # Symbols ship in the narrowest width that fits (int8 is 4x
+            # less tunnel traffic than int32); the flags select the
+            # (rare) wider refetch path without losing exactness.
+            fit8 = jnp.all(jnp.abs(y_sym) <= 127)
+            fit16 = jnp.all(jnp.abs(y_sym) <= 32767) & jnp.all(
+                jnp.abs(z_sym) <= 32767
             )
             return (
+                y_sym.astype(jnp.int8),
                 y_sym.astype(jnp.int16),
                 z_sym.astype(jnp.int16),
-                overflow,
+                z_hat,
+                jnp.stack([fit8, fit16]),
                 y_sym,
                 z_sym,
             )
 
         self._p = params
-        _front = jax.jit(_encode_front_p)
-
-        def encode_front(x):
-            y16, z16, overflow, y32, z32 = _front(self._p, x)
-            if bool(jax.device_get(overflow)):
-                return (
-                    np.asarray(jax.device_get(y32)),
-                    np.asarray(jax.device_get(z32)),
-                )
-            y16, z16 = jax.device_get((y16, z16))
-            return (
-                np.asarray(y16, np.int32),
-                np.asarray(z16, np.int32),
-            )
-
-        self._encode_front = encode_front
+        self._front = jax.jit(_encode_front_p)
         _sigma = jax.jit(
             lambda p, z: model.apply(
                 p, z, method=BMSHJ2018Model.sigma_from_zhat
@@ -326,18 +356,9 @@ class Codec:
 
     @staticmethod
     def _slim(values: np.ndarray) -> np.ndarray:
-        """int16 when the decoded symbols fit (halves the host->device
-        transfer); exact fallback to int32 otherwise."""
-        if values.size and (
-            values.min() >= -32768 and values.max() <= 32767
-        ):
-            return values.astype(np.int16)
-        return values
+        from compression_tpu.util.numeric import slim_int
 
-    def _zhat_host(self, z_sym: np.ndarray) -> np.ndarray:
-        # int symbols + f32 offset: exact in f32, identical on host and
-        # device, so encoder and decoder see bit-equal z_hat.
-        return z_sym.astype(np.float32) + self._z_off_host
+        return slim_int(values)
 
     @staticmethod
     def _pad_np(images: np.ndarray, multiple: int):
@@ -349,98 +370,150 @@ class Codec:
             )
         return images, (h, w)
 
+    # -- encode pipeline stages ---------------------------------------------
+
+    def _dispatch_encode(self, images: np.ndarray) -> _EncodeWork:
+        """Device stage: pad, upload, dispatch the full async encode chain
+        (transforms -> symbols -> z_hat -> sigma -> rows). Returns
+        immediately with device futures."""
+        x, hw = self._pad_np(np.asarray(images, np.uint8), self.cfg.downscale)
+        with self.timer.stage("enc/dispatch"):
+            y8, y16, z16, z_hat, fits, y32, z32 = self._front(
+                self._p, jnp.asarray(x)
+            )
+            sigma = self._sigma(z_hat)
+            rows = self.em.rows(sigma)
+        return _EncodeWork(
+            y8=y8, y16=y16, z16=z16, rows=rows, fits=fits, y32=y32, z32=z32,
+            hw=hw, zshape=None, n=x.shape[0],
+        )
+
+    def _finish_encode(self, w: _EncodeWork) -> list:
+        """Host stage: block on the device chain, range-code, pack blobs."""
+        with self.timer.stage("enc/fetch"):
+            y8, z16, rows, fits = jax.device_get(
+                (w.y8, w.z16, w.rows, w.fits)
+            )
+            fit8, fit16 = bool(fits[0]), bool(fits[1])
+            if not fit16:
+                y_sym = np.asarray(jax.device_get(w.y32))
+                z_sym = np.asarray(jax.device_get(w.z32))
+            elif not fit8:
+                y_sym = np.asarray(jax.device_get(w.y16), np.int32)
+                z_sym = np.asarray(z16, np.int32)
+            else:
+                y_sym = np.asarray(y8, np.int32)
+                z_sym = np.asarray(z16, np.int32)
+        n = w.n
+        zshape = z_sym.shape[1:3]
+        with self.timer.stage("enc/code_z"):
+            z_strings = self.side_em.compress_symbols(z_sym)
+        with self.timer.stage("enc/code_y"):
+            y_strings = self.em.compress_symbols(
+                y_sym.reshape(n, -1), np.asarray(rows).reshape(n, -1)
+            )
+        with self.timer.stage("enc/pack"):
+            h, wd = w.hw
+            blobs = []
+            for i in range(n):
+                packed = PackedTensors()
+                packed.model = self.cfg.model_name
+                packed.pack(
+                    [
+                        y_strings[i],
+                        z_strings[i],
+                        np.array([h, wd], np.int32),
+                        np.array(zshape, np.int32),
+                    ]
+                )
+                blobs.append(packed.string)
+        return blobs
+
+    # -- decode pipeline stages ---------------------------------------------
+
+    def _dispatch_decode(self, blobs: list) -> _DecodeWork:
+        """First stage: parse blobs, host-decode z (small, fast), dispatch
+        the device chain z_hat -> sigma -> rows."""
+        y_strings, z_strings = [], []
+        xshape = zshape = None
+        with self.timer.stage("dec/parse"):
+            for blob in blobs:
+                packed = PackedTensors(blob)
+                ys, zs, xs, zsh = packed.unpack(
+                    [object, object, np.int32, np.int32]
+                )
+                y_strings.append(bytes(ys[0]))
+                z_strings.append(bytes(zs[0]))
+                xshape, zshape = xs, zsh
+        with self.timer.stage("dec/code_z"):
+            z_hat = self.side_em.decompress(
+                z_strings, tuple(int(v) for v in zshape)
+            )
+        with self.timer.stage("dec/dispatch"):
+            sigma = self._sigma(z_hat)
+            rows = self.em.rows(sigma)
+        return _DecodeWork(
+            rows=rows, y_strings=y_strings, shape=sigma.shape, xshape=xshape
+        )
+
+    def _finish_decode(self, w: _DecodeWork) -> np.ndarray:
+        """Host stage: fetch rows, range-decode y, dispatch synthesis,
+        fetch the reconstruction."""
+        with self.timer.stage("dec/fetch_rows"):
+            rows = np.asarray(jax.device_get(w.rows))
+        n = len(w.y_strings)
+        with self.timer.stage("dec/code_y"):
+            values = self.em.decode_symbols(w.y_strings, rows.reshape(n, -1))
+        with self.timer.stage("dec/synth"):
+            y_hat = jnp.asarray(self._slim(values.reshape(w.shape)))
+            x_hat_dev = self._synthesize(y_hat)
+        with self.timer.stage("dec/fetch_image"):
+            x_hat = np.asarray(jax.device_get(x_hat_dev))
+        return x_hat[:, : int(w.xshape[0]), : int(w.xshape[1]), :]
+
+    # -- streaming product paths (double-buffered device/host overlap) ------
+
+    def compress_iter(self, batches, depth: int = 2):
+        """Pipelined encode over an iterable of uint8 (N,H,W,3) stacks:
+        yields a list of .tfci blobs per input batch, in order. With
+        depth=2 the TPU transforms batch i+1 while host threads
+        range-code batch i."""
+        from compression_tpu.parallel.pipeline import Pipeline
+
+        yield from Pipeline(
+            self._dispatch_encode, self._finish_encode, depth
+        ).run(batches)
+
+    def decompress_iter(self, blob_batches, depth: int = 2):
+        """Pipelined decode over an iterable of .tfci blob lists (each list
+        decoded as one device batch); yields uint8 (N,H,W,3) stacks."""
+        from compression_tpu.parallel.pipeline import Pipeline
+
+        yield from Pipeline(
+            self._dispatch_decode, self._finish_decode, depth
+        ).run(blob_batches)
+
+    # -- one-shot convenience wrappers ---------------------------------------
+
     def compress(self, image: np.ndarray) -> bytes:
-        x, (h, w) = self._pad_np(
-            np.asarray(image, np.uint8)[None], self.cfg.downscale
-        )
-        y_sym, z_sym = self._encode_front(jnp.asarray(x))
-        sigma = self._sigma(jnp.asarray(self._zhat_host(z_sym)))
-        y_rows = np.asarray(jax.device_get(self.em.rows(sigma)))
-        z_strings = self.side_em.compress_symbols(z_sym)
-        y_strings = self.em.compress_symbols(
-            y_sym.reshape(1, -1), y_rows.reshape(1, -1)
-        )
-        packed = PackedTensors()
-        packed.model = self.cfg.model_name
-        packed.pack(
-            [
-                y_strings[0],
-                z_strings[0],
-                np.array([h, w], np.int32),
-                np.array(z_sym.shape[1:3], np.int32),
-            ]
-        )
-        return packed.string
+        return self._finish_encode(
+            self._dispatch_encode(np.asarray(image, np.uint8)[None])
+        )[0]
 
-    # -- batched fast paths (same bitstream format, N images at a time) -----
-
-    def compress_batch(self, images: np.ndarray) -> list[bytes]:
+    def compress_batch(self, images: np.ndarray) -> list:
         """Compresses a uint8 (N, H, W, 3) stack; one .tfci blob each.
 
         Batching amortizes dispatch latency and keeps the MXU busy; the
         entropy coder fans the N streams across native threads.
         """
-        x, (h, w) = self._pad_np(
-            np.asarray(images, np.uint8), self.cfg.downscale
-        )
-        y_sym, z_sym = self._encode_front(jnp.asarray(x))
-        sigma = self._sigma(jnp.asarray(self._zhat_host(z_sym)))
-        y_rows = np.asarray(jax.device_get(self.em.rows(sigma)))
-        n = x.shape[0]
-        z_strings = self.side_em.compress_symbols(z_sym)
-        y_strings = self.em.compress_symbols(
-            y_sym.reshape(n, -1), y_rows.reshape(n, -1)
-        )
-        blobs = []
-        for i in range(n):
-            packed = PackedTensors()
-            packed.model = self.cfg.model_name
-            packed.pack(
-                [
-                    y_strings[i],
-                    z_strings[i],
-                    np.array([h, w], np.int32),
-                    np.array(z_sym.shape[1:3], np.int32),
-                ]
-            )
-            blobs.append(packed.string)
-        return blobs
+        return self._finish_encode(self._dispatch_encode(images))
 
     def decompress_batch(self, blobs: list) -> np.ndarray:
         """Decompresses same-size .tfci blobs as one batch."""
-        y_strings, z_strings = [], []
-        xshape = zshape = None
-        for blob in blobs:
-            packed = PackedTensors(blob)
-            ys, zs, xs, zsh = packed.unpack([object, object, np.int32, np.int32])
-            y_strings.append(bytes(ys[0]))
-            z_strings.append(bytes(zs[0]))
-            xshape, zshape = xs, zsh
-        z_hat = self.side_em.decompress(
-            z_strings, tuple(int(v) for v in zshape)
-        )
-        sigma = self._sigma(z_hat)
-        y_rows = np.asarray(jax.device_get(self.em.rows(sigma)))
-        n = len(blobs)
-        values = self.em.decode_symbols(y_strings, y_rows.reshape(n, -1))
-        y_hat = jnp.asarray(self._slim(values.reshape(sigma.shape)))
-        x_hat = np.asarray(jax.device_get(self._synthesize(y_hat)))
-        return x_hat[:, : int(xshape[0]), : int(xshape[1]), :]
+        return self._finish_decode(self._dispatch_decode(blobs))
 
     def decompress(self, data: bytes) -> np.ndarray:
-        packed = PackedTensors(data)
-        y_string, z_string, xshape, zshape = packed.unpack(
-            [object, object, np.int32, np.int32]
-        )
-        z_hat = self.side_em.decompress(
-            [bytes(z_string[0])], tuple(int(v) for v in zshape)
-        )
-        sigma = self._sigma(z_hat)
-        y_rows = np.asarray(jax.device_get(self.em.rows(sigma)))
-        values = self.em.decode_symbols([bytes(y_string[0])], y_rows)
-        y_hat = jnp.asarray(self._slim(values.reshape(sigma.shape)))
-        x_hat = np.asarray(jax.device_get(self._synthesize(y_hat)))
-        return x_hat[0, : int(xshape[0]), : int(xshape[1]), :]
+        return self.decompress_batch([data])[0]
 
 
 def make_codec(model: BMSHJ2018Model, params) -> Codec:

@@ -225,47 +225,114 @@ class Codec:
             ).astype(jnp.uint8)
         )
         self._synthesize = lambda y: _synthesize(self._p, y)
+        # z coder boundary on device (see bmshj2018.Codec notes on the
+        # exactness of int-symbols + f32-offset on both host and device).
+        z_off = self.side_em.symbol_offset()
+        self._z_symbols = jax.jit(
+            lambda z: jnp.round(z - z_off).astype(jnp.int32)
+        )
+        self._z_hat = jax.jit(lambda zs: zs.astype(jnp.float32) + z_off)
 
-    def compress(self, image: np.ndarray) -> bytes:
-        x = jnp.asarray(image, jnp.float32)[None] / 255.0
-        x, (h, w) = image_util.pad_to_multiple(x, self.cfg.downscale)
+    # -- encode: one async device chain, one host sync -----------------------
+
+    def _dispatch_encode(self, images: np.ndarray):
+        x, (h, w) = image_util.pad_to_multiple(
+            jnp.asarray(images, jnp.float32) / 255.0, self.cfg.downscale
+        )
         y, z = self._encode(x)
-        z_strings = self.side_em.compress(z)
-        z_hat = self.side_em.decompress(z_strings, z.shape[1:3])
+        z_sym = self._z_symbols(z)
+        z_hat = self._z_hat(z_sym)
         mu, sigma = self._params(z_hat)
-        sym = np.asarray(jax.device_get(self._center_round(y, mu)))
-        rows = np.asarray(jax.device_get(self.em.rows(sigma)))
+        sym = self._center_round(y, mu)
+        rows = self.em.rows(sigma)
+        return sym, rows, z_sym, (h, w), z_hat.shape[1:3]
+
+    def _finish_encode(self, work) -> list:
+        sym, rows, z_sym, hw, zshape = work
+        sym, rows, z_sym = map(np.asarray, jax.device_get((sym, rows, z_sym)))
         n = sym.shape[0]
+        z_strings = self.side_em.compress_symbols(z_sym)
         y_strings = self.em.compress_symbols(
             sym.reshape(n, -1), rows.reshape(n, -1)
         )
-        packed = PackedTensors()
-        packed.model = self.cfg.model_name
-        packed.pack(
-            [
-                y_strings[0],
-                z_strings[0],
-                np.array([h, w], np.int32),
-                np.array(z.shape[1:3], np.int32),
-            ]
-        )
-        return packed.string
+        h, w = hw
+        blobs = []
+        for i in range(n):
+            packed = PackedTensors()
+            packed.model = self.cfg.model_name
+            packed.pack(
+                [
+                    y_strings[i],
+                    z_strings[i],
+                    np.array([h, w], np.int32),
+                    np.array(zshape, np.int32),
+                ]
+            )
+            blobs.append(packed.string)
+        return blobs
 
-    def decompress(self, data: bytes) -> np.ndarray:
-        packed = PackedTensors(data)
-        y_string, z_string, xshape, zshape = packed.unpack(
-            [object, object, np.int32, np.int32]
-        )
+    def compress(self, image: np.ndarray) -> bytes:
+        return self._finish_encode(
+            self._dispatch_encode(np.asarray(image, np.uint8)[None])
+        )[0]
+
+    def compress_batch(self, images: np.ndarray) -> list:
+        return self._finish_encode(self._dispatch_encode(images))
+
+    def compress_iter(self, batches, depth: int = 2):
+        """Double-buffered encode: device transforms batch i+1 while host
+        threads range-code batch i."""
+        from compression_tpu.parallel.pipeline import Pipeline
+
+        yield from Pipeline(
+            self._dispatch_encode, self._finish_encode, depth
+        ).run(batches)
+
+    # -- decode ---------------------------------------------------------------
+
+    def decompress_batch(self, blobs: list) -> np.ndarray:
+        y_strings, z_strings = [], []
+        xshape = zshape = None
+        for blob in blobs:
+            packed = PackedTensors(blob)
+            ys, zs, xs, zsh = packed.unpack(
+                [object, object, np.int32, np.int32]
+            )
+            y_strings.append(bytes(ys[0]))
+            z_strings.append(bytes(zs[0]))
+            xshape, zshape = xs, zsh
         z_hat = self.side_em.decompress(
-            [bytes(z_string[0])], tuple(int(v) for v in zshape)
+            z_strings, tuple(int(v) for v in zshape)
         )
         mu, sigma = self._params(z_hat)
         rows = np.asarray(jax.device_get(self.em.rows(sigma)))
-        values = self.em.decode_symbols([bytes(y_string[0])], rows)
-        y_hat = self._apply_loc(jnp.asarray(values.reshape(mu.shape)), mu)
+        n = len(blobs)
+        values = self.em.decode_symbols(y_strings, rows.reshape(n, -1))
+        from compression_tpu.util.numeric import slim_int
+
+        y_hat = self._apply_loc(
+            jnp.asarray(slim_int(values.reshape(mu.shape))), mu
+        )
         x_hat = self._synthesize(y_hat)
-        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))
         return np.asarray(jax.device_get(x_hat), np.uint8)
+
+    def decompress_iter(self, blob_batches, depth: int = 2):
+        """Staggers batches on worker threads so host range decoding
+        overlaps the next batch's device work."""
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=max(1, depth)) as pool:
+            inflight = []
+            for blobs in blob_batches:
+                inflight.append(pool.submit(self.decompress_batch, blobs))
+                while len(inflight) >= max(1, depth):
+                    yield inflight.pop(0).result()
+            for fut in inflight:
+                yield fut.result()
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        return self.decompress_batch([data])[0]
 
 
 def make_codec(model: MBT2018Model, params) -> Codec:

@@ -345,60 +345,134 @@ class Codec:
             ).astype(jnp.uint8)
         )
         self._synthesize = lambda y: _synthesize(self._p, y)
+        # z coder boundary on device: symbols and z_hat formed with the same
+        # f32 math the decoder's host path uses (integer symbols + f32
+        # offset; IEEE addition is identical on host and device), so the
+        # shared _supports jit sees bit-equal z_hat on both sides.
+        z_off = self.side_em.symbol_offset()
+        self._z_symbols = jax.jit(
+            lambda z: jnp.round(z - z_off).astype(jnp.int32)
+        )
+        self._z_hat = jax.jit(lambda zs: zs.astype(jnp.float32) + z_off)
+        s = self.cfg.slice_size
+        self._take_slice = lambda y, i: y[..., i * s : (i + 1) * s]
 
-    def compress(self, image: np.ndarray) -> bytes:
+    # -- encode: one async device chain, ONE host sync ----------------------
+    #
+    # The autoregressive loop has no host dependency on the ENCODE side:
+    # every slice's (mu, sigma, symbols, y_hat) is computable on device from
+    # x alone. All 10 slices are dispatched asynchronously through the SAME
+    # per-slice jits the decoder uses (bit-exactness: identical compiled
+    # executables on identical inputs can't diverge by a fused-op ulp), and
+    # the host blocks exactly once to fetch all symbols + CDF rows before
+    # range coding. The reference's encoder (models/ms2020.py:≈380) blocks
+    # on the coder op once per slice.
+
+    def _dispatch_encode(self, images: np.ndarray):
         cfg = self.cfg
         s = cfg.slice_size
-        x = jnp.asarray(image, jnp.float32)[None] / 255.0
-        x, (h, w) = image_util.pad_to_multiple(x, cfg.downscale)
+        x, (h, w) = image_util.pad_to_multiple(
+            jnp.asarray(images, jnp.float32) / 255.0, cfg.downscale
+        )
         y, z = self._encode(x)
-        z_strings = self.side_em.compress(z)
-        z_hat = self.side_em.decompress(z_strings, z.shape[1:3])
+        z_sym = self._z_symbols(z)
+        z_hat = self._z_hat(z_sym)
         mu_sup, sigma_sup = self._supports(z_hat)
-
         decoded: List = []
-        slice_strings: List[bytes] = []
+        syms: List = []
+        rows: List = []
         for i in range(cfg.num_slices):
-            y_i = y[..., i * s : (i + 1) * s]
+            y_i = self._take_slice(y, i)
             mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
             sym = self._center_round(y_i, mu)
-            rows = np.asarray(jax.device_get(self.em.rows(sigma)))
-            sym_host = np.asarray(jax.device_get(sym))
-            slice_strings.append(
-                self.em.compress_symbols(
-                    sym_host.reshape(1, -1), rows.reshape(1, -1)
-                )[0]
-            )
+            syms.append(sym)
+            rows.append(self.em.rows(sigma))
             y_hat_i = self._apply_loc(sym, mu)
-            decoded.append(
-                self._finish_slice(i, mu_sup, decoded, y_hat_i)
-            )
+            decoded.append(self._finish_slice(i, mu_sup, decoded, y_hat_i))
+        return syms, rows, z_sym, (h, w), z_hat.shape[1:3]
 
-        packed = PackedTensors()
-        packed.model = cfg.model_name
-        packed.pack(
-            slice_strings
-            + [
-                z_strings[0],
-                np.array([h, w], np.int32),
-                np.array(z.shape[1:3], np.int32),
-            ]
-        )
-        return packed.string
-
-    def decompress(self, data: bytes) -> np.ndarray:
+    def _finish_encode(self, work) -> List[bytes]:
+        syms, rows, z_sym, hw, zshape = work
         cfg = self.cfg
-        packed = PackedTensors(data)
-        fields = packed.unpack(
-            [object] * cfg.num_slices + [object, np.int32, np.int32]
-        )
-        slice_strings = [bytes(f[0]) for f in fields[: cfg.num_slices]]
-        z_string = bytes(fields[cfg.num_slices][0])
-        xshape = fields[cfg.num_slices + 1]
-        zshape = fields[cfg.num_slices + 2]
+        # Single blocking fetch of the whole dispatched chain.
+        syms, rows, z_sym = jax.device_get((syms, rows, z_sym))
+        n = z_sym.shape[0]
+        z_strings = self.side_em.compress_symbols(np.asarray(z_sym))
+        blobs = []
+        slice_strings = [
+            self.em.compress_symbols(
+                np.asarray(syms[i]).reshape(n, -1),
+                np.asarray(rows[i]).reshape(n, -1),
+            )
+            for i in range(cfg.num_slices)
+        ]
+        h, w = hw
+        for b in range(n):
+            packed = PackedTensors()
+            packed.model = cfg.model_name
+            packed.pack(
+                [slice_strings[i][b] for i in range(cfg.num_slices)]
+                + [
+                    z_strings[b],
+                    np.array([h, w], np.int32),
+                    np.array(zshape, np.int32),
+                ]
+            )
+            blobs.append(packed.string)
+        return blobs
 
+    def compress(self, image: np.ndarray) -> bytes:
+        return self._finish_encode(
+            self._dispatch_encode(np.asarray(image, np.uint8)[None])
+        )[0]
+
+    def compress_batch(self, images: np.ndarray) -> List[bytes]:
+        """Batched encode: N images through one dispatched slice chain."""
+        return self._finish_encode(self._dispatch_encode(images))
+
+    def compress_iter(self, batches, depth: int = 2):
+        """Pipelined encode over batches: the device runs batch i+1's slice
+        chain while host threads range-code batch i (10 streams/img)."""
+        from compression_tpu.parallel.pipeline import Pipeline
+
+        yield from Pipeline(
+            self._dispatch_encode, self._finish_encode, depth
+        ).run(batches)
+
+    # -- decode: slice-batched across images ---------------------------------
+    #
+    # The CHARM decode is inherently serial per image: slice i+1's (mu,
+    # sigma) depend on slice i's *decoded* values, so the device genuinely
+    # cannot start slice i+1 before the host coder finishes slice i
+    # (SURVEY.md §3.3). What CAN be removed is the per-image multiplier:
+    # decoding N images in lockstep turns 10 device<->host round-trips per
+    # IMAGE into 10 per BATCH, and `decompress_iter` (depth 2) fills each
+    # remaining host-coding gap with the next batch's device work.
+
+    def _parse_blobs(self, blobs: List[bytes]):
+        cfg = self.cfg
+        slice_strings: List[List[bytes]] = [[] for _ in range(cfg.num_slices)]
+        z_strings: List[bytes] = []
+        xshape = zshape = None
+        for blob in blobs:
+            packed = PackedTensors(blob)
+            fields = packed.unpack(
+                [object] * cfg.num_slices + [object, np.int32, np.int32]
+            )
+            for i in range(cfg.num_slices):
+                slice_strings[i].append(bytes(fields[i][0]))
+            z_strings.append(bytes(fields[cfg.num_slices][0]))
+            xshape = fields[cfg.num_slices + 1]
+            zshape = fields[cfg.num_slices + 2]
+        return slice_strings, z_strings, xshape, zshape
+
+    def decompress_batch(self, blobs: List[bytes]) -> np.ndarray:
+        """Decodes same-size .tfci blobs as one lockstep slice-batched pass."""
+        cfg = self.cfg
+        slice_strings, z_strings, xshape, zshape = self._parse_blobs(blobs)
+        n = len(blobs)
         z_hat = self.side_em.decompress(
-            [z_string], tuple(int(v) for v in zshape)
+            z_strings, tuple(int(v) for v in zshape)
         )
         mu_sup, sigma_sup = self._supports(z_hat)
 
@@ -406,18 +480,43 @@ class Codec:
         for i in range(cfg.num_slices):
             mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
             rows = np.asarray(jax.device_get(self.em.rows(sigma)))
-            values = self.em.decode_symbols([slice_strings[i]], rows)
+            values = self.em.decode_symbols(
+                slice_strings[i], rows.reshape(n, -1)
+            )
             y_hat_i = self._apply_loc(
-                jnp.asarray(values.reshape(mu.shape)), mu
+                jnp.asarray(self._slim(values.reshape(mu.shape))), mu
             )
-            decoded.append(
-                self._finish_slice(i, mu_sup, decoded, y_hat_i)
-            )
+            decoded.append(self._finish_slice(i, mu_sup, decoded, y_hat_i))
 
         y_hat = jnp.concatenate(decoded, axis=-1)
         x_hat = self._synthesize(y_hat)
-        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))
         return np.asarray(jax.device_get(x_hat), np.uint8)
+
+    @staticmethod
+    def _slim(values: np.ndarray) -> np.ndarray:
+        from compression_tpu.util.numeric import slim_int
+
+        return slim_int(values)
+
+    def decompress_iter(self, blob_batches, depth: int = 2):
+        """Decodes an iterable of blob lists with ``depth`` batches in
+        flight on worker threads: while the host range-decodes batch i's
+        slice j, the device computes another batch's slice parameters (the
+        only overlap the serial CHARM chain admits within a chip)."""
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=max(1, depth)) as pool:
+            inflight = []
+            for blobs in blob_batches:
+                inflight.append(pool.submit(self.decompress_batch, blobs))
+                while len(inflight) >= max(1, depth):
+                    yield inflight.pop(0).result()
+            for fut in inflight:
+                yield fut.result()
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        return self.decompress_batch([data])[0]
 
 
 def make_codec(model: MS2020Model, params) -> Codec:

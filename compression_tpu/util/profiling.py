@@ -41,9 +41,15 @@ def annotate(name: str):
 
 
 class StageTimer:
-    """Accumulates wall time per named stage; `report()` prints a table."""
+    """Accumulates wall time per named stage; `report()` prints a table.
+
+    Thread-safe: pipeline host stages run on worker threads
+    (:mod:`compression_tpu.parallel.pipeline`)."""
 
     def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
 
@@ -54,8 +60,10 @@ class StageTimer:
             try:
                 yield
             finally:
-                self.totals[name] += time.perf_counter() - t0
-                self.counts[name] += 1
+                dt = time.perf_counter() - t0
+                with self._lock:
+                    self.totals[name] += dt
+                    self.counts[name] += 1
 
     def report(self) -> str:
         lines = ["stage                     total_s   calls   mean_ms"]

@@ -68,3 +68,30 @@ def test_roundtrip_serial_slices():
     assert out.shape == image.shape and out.dtype == np.uint8
     # Deterministic: encoder-side reconstruction == decoder-side.
     assert data == ms2020.compress(model, params, image)
+
+
+def test_batched_encode_decode_match_single():
+    """compress_batch/decompress_batch (slice-batched lockstep) must be
+    byte-identical to the per-image paths."""
+    model = ms2020.MS2020Model(_tiny_cfg())
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    rng = np.random.RandomState(5)
+    images = (rng.rand(3, 64, 64, 3) * 255).astype(np.uint8)
+    codec = ms2020.make_codec(model, params)
+    blobs = codec.compress_batch(images)
+    for i in range(3):
+        assert blobs[i] == codec.compress(images[i])
+    recon = codec.decompress_batch(blobs)
+    for i in range(3):
+        np.testing.assert_array_equal(recon[i], codec.decompress(blobs[i]))
+    # Streaming variants preserve order and results.
+    batches = [images[:2], images[2:]]
+    piped = list(codec.compress_iter(iter(batches), depth=2))
+    assert piped[0] == blobs[:2] and piped[1] == blobs[2:]
+    outs = list(codec.decompress_iter(iter(piped), depth=2))
+    np.testing.assert_array_equal(
+        np.concatenate([outs[0], outs[1]]), recon
+    )
