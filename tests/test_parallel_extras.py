@@ -56,6 +56,34 @@ def test_toy_sources_train_and_roundtrip():
     assert sum(len(s) for s in strings) > 0
 
 
+def test_toy_sources_ecvq_improves_and_compares():
+    """ECVQ baseline: training reduces the rate-augmented objective, and
+    the comparison harness produces NTC + ECVQ rows (the reference's
+    toy-source experiment shape)."""
+    from compression_tpu.models import toy_sources as toy
+
+    lam = 3.0
+    q0 = toy.train_ecvq(toy.banana, lam, num_codewords=32, steps=0,
+                        batch_size=512)
+    q = toy.train_ecvq(toy.banana, lam, num_codewords=32, steps=40,
+                       batch_size=512)
+    x = toy.banana(jax.random.PRNGKey(9), 4096)
+    r0, d0 = q0.rate_distortion(x)
+    r1, d1 = q.rate_distortion(x)
+    assert float(r1) + lam * float(d1) < float(r0) + lam * float(d0)
+    # Codeword probabilities are a normalized distribution.
+    p = np.exp2(np.asarray(q.log2_p))
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+
+    rows = toy.compare_ntc_vq(
+        toy.banana, lambdas=(3.0,), ntc_steps=30, vq_steps=20,
+        num_codewords=32,
+    )
+    methods = {m for m, *_ in rows}
+    assert methods == {"ntc", "ecvq"}
+    assert all(r > 0 and d >= 0 for _, _, r, d in rows)
+
+
 def test_stage_timer_report():
     from compression_tpu.util.profiling import StageTimer
 
