@@ -82,7 +82,28 @@ def cmd_models(args) -> int:
 
 
 def cmd_compress(args) -> int:
-    entry, model, params = _load_model(args.model, args.allow_random)
+    name = args.model
+    if getattr(args, "rd_parameter", None) is not None:
+        # Reference CLI parity (models/tfci.py --rd_parameter): a runtime
+        # rate point for variable-rate models — equivalent to the quality
+        # suffix, e.g. `compress b2018-gdn-128 --rd_parameter 2` ==
+        # `compress b2018-gdn-128-2`.
+        from compression_tpu.cli.registry import VARIABLE_RATE, _split_name
+
+        base, quality = _split_name(name)
+        if base not in VARIABLE_RATE:
+            raise SystemExit(
+                f"--rd_parameter only applies to variable-rate models "
+                f"({', '.join(sorted(VARIABLE_RATE))}); {name!r} selects "
+                f"its rate via per-quality checkpoints"
+            )
+        if quality is not None and quality != int(args.rd_parameter):
+            raise SystemExit(
+                f"conflicting rate points: name says {quality}, "
+                f"--rd_parameter says {args.rd_parameter}"
+            )
+        name = f"{base}-{int(args.rd_parameter)}"
+    entry, model, params = _load_model(name, args.allow_random)
     image = image_util.read_png(args.input)
     data = entry.compress(model, params, image)
     out = args.output or args.input + ".tfci"
@@ -250,6 +271,11 @@ def main(argv=None) -> int:
     sp.add_argument("input")
     sp.add_argument("output", nargs="?")
     sp.add_argument("--allow-random", action="store_true")
+    sp.add_argument(
+        "--rd_parameter", type=int, default=None,
+        help="runtime rate point for variable-rate models (b2018-*); "
+        "equivalent to the -N quality suffix (reference tfci.py flag)",
+    )
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress", help="decompress a .tfci to PNG")

@@ -16,6 +16,7 @@ from compression_tpu.models.hific.model import (
     HificModel,
     compress,
     decompress,
+    make_loss_fns,
     make_train_steps,
 )
 from compression_tpu.models.hific.train import train
@@ -31,6 +32,7 @@ __all__ = [
     "HificModel",
     "compress",
     "decompress",
+    "make_loss_fns",
     "make_train_steps",
     "train",
 ]

@@ -45,7 +45,13 @@ from compression_tpu.models.mbt2018 import (
 from compression_tpu.util import PackedTensors
 from compression_tpu.util import image as image_util
 
-__all__ = ["HificModel", "make_train_steps", "compress", "decompress"]
+__all__ = [
+    "HificModel",
+    "make_loss_fns",
+    "make_train_steps",
+    "compress",
+    "decompress",
+]
 
 
 class HificModel(nn.Module):
@@ -100,22 +106,23 @@ class HificModel(nn.Module):
         return self.hyperprior()
 
 
-def make_train_steps(
+def make_loss_fns(
     model: HificModel,
     disc: archs.Discriminator,
     lpips_model,
     lpips_params,
     cfg: HificConfig,
 ):
-    """Builds the jitted joint G/D train step.
+    """The G and D loss functions (exposed so tests can compute the exact
+    single-device equivalent of the DP step).
 
-    Returns ``step(g_params, d_vars, g_opt, d_opt, batch, rng)`` ->
-    ``(g_params, d_vars, g_opt, d_opt, metrics)``.
+    ``g_loss_fn(g_params, d_vars, batch, rng, pmean_axis=None)`` ->
+    ``(loss, aux)``; ``d_loss_fn(d_params, d_state, batch, x_hat, y_hat)``
+    -> ``(loss, new_state)``. Inside ``shard_map``, ``pmean_axis`` makes
+    the rate hinge a global-batch decision.
     """
-    g_tx = optax.adam(cfg.lr)
-    d_tx = optax.adam(cfg.disc_lr)
 
-    def g_loss_fn(g_params, d_vars, batch, rng):
+    def g_loss_fn(g_params, d_vars, batch, rng, pmean_axis=None):
         x_hat, y_hat, bpp = model.apply(g_params, batch, rng, training=True)
         mse = jnp.mean(jnp.square(batch - x_hat)) * (255.0**2)
         perceptual = jnp.mean(
@@ -127,7 +134,14 @@ def make_train_steps(
             d_vars, x_hat, jax.lax.stop_gradient(y_hat), update_stats=False
         )
         gan_loss = jnp.mean(jax.nn.softplus(-logits_fake))  # -log D(x_hat)
-        lam = jnp.where(bpp > cfg.target_rate, cfg.lambda_a, cfg.lambda_b)
+        # Rate hinge on the global-batch bpp: under DP the local shard's
+        # bpp is only 1/n of the evidence; hinging per-device would let
+        # different devices pick different lambdas (reference model.py
+        # rate targeting is a whole-batch decision).
+        hinge_bpp = (
+            jax.lax.pmean(bpp, pmean_axis) if pmean_axis is not None else bpp
+        )
+        lam = jnp.where(hinge_bpp > cfg.target_rate, cfg.lambda_a, cfg.lambda_b)
         loss = (
             lam * bpp
             + cfg.k_mse * mse
@@ -159,11 +173,48 @@ def make_train_steps(
         )
         return loss, vars_out2
 
-    @jax.jit
-    def step(g_params, d_vars, g_opt, d_opt, batch, rng):
+    return g_loss_fn, d_loss_fn
+
+
+def make_train_steps(
+    model: HificModel,
+    disc: archs.Discriminator,
+    lpips_model,
+    lpips_params,
+    cfg: HificConfig,
+    num_devices: int = 1,
+    axis: str = "data",
+):
+    """Builds the jitted joint G/D train step.
+
+    Returns ``step(g_params, d_vars, g_opt, d_opt, batch, rng)`` ->
+    ``(g_params, d_vars, g_opt, d_opt, metrics)``.
+
+    With ``num_devices > 1`` the step is data-parallel over an n-device
+    mesh (BASELINE config #5: HiFiC G+D on a v5e-8 DP mesh): the batch is
+    sharded on its leading axis, G and D gradients are each ``pmean``'d
+    over ICI, and the rate hinge sees the *global-batch* bpp (``pmean``
+    before the two-lambda comparison) so the DP step computes the same
+    math as a single device on the full batch. Params/opt state stay
+    replicated; the discriminator's spectral-norm power-iteration state
+    depends only on (replicated) weights, so it stays replicated too.
+    """
+    g_tx = optax.adam(cfg.lr)
+    d_tx = optax.adam(cfg.disc_lr)
+    g_loss_fn, d_loss_fn = make_loss_fns(
+        model, disc, lpips_model, lpips_params, cfg
+    )
+
+    def joint_step(g_params, d_vars, g_opt, d_opt, batch, rng, pmean_axis=None):
+        def _reduce(t):
+            return (
+                jax.lax.pmean(t, pmean_axis) if pmean_axis is not None else t
+            )
+
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            g_params, d_vars, batch, rng
+            g_params, d_vars, batch, rng, pmean_axis=pmean_axis
         )
+        g_grads = _reduce(g_grads)
         g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
         g_params = optax.apply_updates(g_params, g_updates)
 
@@ -174,12 +225,39 @@ def make_train_steps(
         (d_loss, new_state), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(d_params, d_state, batch, x_hat, y_hat)
+        d_grads = _reduce(d_grads)
         d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, d_updates)
         d_vars = {"params": d_params, **new_state}
 
-        metrics = {"g_loss": g_loss, "d_loss": d_loss, **aux}
+        metrics = _reduce({"g_loss": g_loss, "d_loss": d_loss, **aux})
         return g_params, d_vars, g_opt, d_opt, metrics
+
+    if num_devices > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from compression_tpu.parallel.data_parallel import make_mesh
+
+        mesh = make_mesh(num_devices, axis)
+
+        def shard_step(g_params, d_vars, g_opt, d_opt, batch, rng):
+            # Decorrelate dither across devices, deterministically.
+            dev_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            return joint_step(
+                g_params, d_vars, g_opt, d_opt, batch, dev_rng,
+                pmean_axis=axis,
+            )
+
+        mapped = jax.shard_map(
+            shard_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        step = jax.jit(mapped)
+    else:
+        step = jax.jit(joint_step, static_argnames=("pmean_axis",))
 
     return step, g_tx, d_tx
 

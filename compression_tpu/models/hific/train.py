@@ -36,16 +36,29 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig):
     )
     d_vars = disc.init(d_rng, batch0, y_hat0, update_stats=False)
 
+    n_dev = train_cfg.num_devices
+    if n_dev > 1 and train_cfg.batch_size % n_dev:
+        raise ValueError(
+            f"batch_size ({train_cfg.batch_size}) must be divisible by "
+            f"num_devices ({n_dev}) for data parallelism"
+        )
     step_fn, g_tx, d_tx = make_train_steps(
-        model, disc, lpips_model, lpips_params, cfg
+        model, disc, lpips_model, lpips_params, cfg, num_devices=n_dev
     )
     g_opt = g_tx.init(g_params)
     d_opt = d_tx.init(d_vars["params"])
+    if n_dev > 1:
+        from compression_tpu.parallel.data_parallel import make_mesh, shard_batch
+
+        mesh = make_mesh(n_dev)
+        place = lambda b: shard_batch(jnp.asarray(b), mesh)  # noqa: E731
+    else:
+        place = jnp.asarray
 
     t0 = time.time()
     for step in range(1, train_cfg.steps + 1):
         rng, step_rng = jax.random.split(rng)
-        batch = jnp.asarray(next(data))
+        batch = place(next(data))
         g_params, d_vars, g_opt, d_opt, metrics = step_fn(
             g_params, d_vars, g_opt, d_opt, batch, step_rng
         )

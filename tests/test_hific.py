@@ -78,3 +78,121 @@ def test_joint_train_step_and_roundtrip():
 def test_configs():
     for name, rate in (("hific-lo", 0.14), ("hific-mi", 0.3), ("hific-hi", 0.45)):
         assert hific.get_config(name).target_rate == rate
+
+
+def test_dp_gan_step_matches_single_device():
+    """The data-parallel joint G/D step over a 2-device mesh computes the
+    identical update to the equivalent single-device math: mean of per-shard
+    losses with the same per-device folded rngs, G and D grads pmean'd
+    (BASELINE config #5). target_rate=0 pins the rate hinge to lambda_a on
+    every shard and globally, so the folded dither rngs are the only
+    DP-vs-single difference — which the reference below reproduces."""
+    import optax
+    from compression_tpu.parallel.data_parallel import make_mesh, shard_batch
+    from compression_tpu.models.hific.lpips import LPIPS
+
+    n = 2  # 2 shards keep the n-times-unrolled reference compile tractable
+    cfg = hific.HificConfig(
+        name="hific-test", target_rate=0.0, num_latents=8,
+        num_hyperlatents=4, num_residual_blocks=1,
+    )
+    model = hific.HificModel(cfg)
+    disc = hific.Discriminator()
+    lpips = LPIPS()
+    # 64x64 is the smallest input whose 16x-downsampled latent matches the
+    # hyper stack's stride arithmetic (at 32x32 the 2x2 latent meets a 4x4
+    # hyper-synthesis output).
+    batch = jnp.asarray(
+        np.random.RandomState(0).rand(n, 64, 64, 3), jnp.float32
+    )
+    lp = lpips.init(jax.random.PRNGKey(3), batch, batch)
+    g_params = model.init(
+        jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), training=True
+    )
+    _, y_hat0, _ = model.apply(
+        g_params, batch, jax.random.PRNGKey(2), training=True
+    )
+    d_vars = disc.init(jax.random.PRNGKey(4), batch, y_hat0, update_stats=False)
+
+    step, g_tx, d_tx = hific.make_train_steps(
+        model, disc, lpips, lp, cfg, num_devices=n
+    )
+    g_opt = g_tx.init(g_params)
+    d_opt = d_tx.init(d_vars["params"])
+    rng = jax.random.PRNGKey(5)
+    mesh = make_mesh(n)
+    dp_g, dp_d, _, _, metrics = step(
+        g_params, d_vars, g_opt, d_opt, shard_batch(batch, mesh), rng
+    )
+
+    # --- single-device reference: same math without shard_map ---
+    g_loss_fn, d_loss_fn = hific.make_loss_fns(model, disc, lpips, lp, cfg)
+    rngs = [jax.random.fold_in(rng, d) for d in range(n)]
+
+    def ref_g_loss(p):
+        losses = [
+            g_loss_fn(p, d_vars, batch[d : d + 1], rngs[d])[0]
+            for d in range(n)
+        ]
+        return jnp.mean(jnp.stack(losses))
+
+    ref_g_grads = jax.grad(ref_g_loss)(g_params)
+    g_updates, _ = g_tx.update(ref_g_grads, g_opt, g_params)
+    ref_g = optax.apply_updates(g_params, g_updates)
+
+    d_params = d_vars["params"]
+    d_state = {k: v for k, v in d_vars.items() if k != "params"}
+    shard_aux = [
+        g_loss_fn(g_params, d_vars, batch[d : d + 1], rngs[d])[1]
+        for d in range(n)
+    ]
+
+    def ref_d_loss(dp):
+        losses = [
+            d_loss_fn(
+                dp, d_state, batch[d : d + 1],
+                shard_aux[d]["x_hat"], shard_aux[d]["y_hat"],
+            )[0]
+            for d in range(n)
+        ]
+        return jnp.mean(jnp.stack(losses))
+
+    ref_d_grads = jax.grad(ref_d_loss)(d_params)
+    d_updates, _ = d_tx.update(ref_d_grads, d_opt, d_params)
+    ref_d_params = optax.apply_updates(d_params, d_updates)
+
+    np.testing.assert_allclose(
+        float(metrics["g_loss"]), float(ref_g_loss(g_params)), rtol=1e-6
+    )
+
+    # Updated-parameter comparison, gradient-aware: adam's first step is
+    # ~lr*sign(grad), so where the gradient is solidly nonzero the DP and
+    # reference updates must agree tightly; where it is ~0, float
+    # reduction-order noise (shard_map pmean vs grad-of-mean are different
+    # XLA programs) can flip the sign, bounded by the 2*lr step size.
+    def assert_update_close(dp_tree, ref_tree, grad_tree, lr):
+        for a, b, g in zip(
+            jax.tree_util.tree_leaves(dp_tree),
+            jax.tree_util.tree_leaves(ref_tree),
+            jax.tree_util.tree_leaves(grad_tree),
+        ):
+            a, b, g = np.asarray(a), np.asarray(b), np.abs(np.asarray(g))
+            stable = g > 1e-4 * (g.max() + 1e-30)
+            np.testing.assert_allclose(
+                a[stable], b[stable], rtol=1e-3, atol=2e-6
+            )
+            np.testing.assert_allclose(a[~stable], b[~stable], atol=2.5 * lr)
+
+    assert_update_close(dp_g, ref_g, ref_g_grads, cfg.lr)
+    assert_update_close(dp_d["params"], ref_d_params, ref_d_grads, cfg.disc_lr)
+    # Every device's replica of the updated G params must be identical.
+    checked = 0
+    for leaf in jax.tree_util.tree_leaves(dp_g):
+        shards = getattr(leaf, "addressable_shards", None)
+        if not shards:
+            continue
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            np.testing.assert_array_equal(np.asarray(s.data), ref)
+            checked += 1
+    assert checked > 0

@@ -38,6 +38,11 @@ MODULES = [
     "compression_tpu.parallel.data_parallel",
     "compression_tpu.parallel.pipeline",
     "compression_tpu.parallel.spatial",
+    "compression_tpu.parallel.charm_pipeline",
+    "compression_tpu.models.b2018",
+    "compression_tpu.models.toy_sources",
+    "compression_tpu.models.hific.model",
+    "compression_tpu.cli.registry",
 ]
 
 

@@ -1,14 +1,17 @@
 """Deterministic synthetic train/eval image set generator.
 
-Produces the exact dataset used for the results/synthetic/ R-D tables
-(round-1 recipe, seed-stable): 24 training images at 256x256 and 4
-held-out eval images at 768x512, with structured content (oriented
-gratings, gradients, rectangles, mild sensor noise) so the statistics
-are natural-ish and compressible. This plays the role of the
-reference's Kodak/CLIC eval data (reference: results/image_compression/)
-in a sandbox that ships no image datasets.
+Produces the dataset behind the results/synthetic/ R-D tables
+(seed-stable): N training images at 256x256 (default 160 — round 1 used
+24, which the mean-conditioned models memorize: mu predicts training
+latents near-exactly, then mispredicts on held-out images and the
+escape-coded residuals explode the rate ~8x) and 4 held-out eval images
+at 768x512 (seeds 100..103, unchanged across rounds for comparability),
+with structured content (oriented gratings, gradients, rectangles, mild
+sensor noise) so the statistics are natural-ish and compressible. Plays
+the role of the reference's Kodak/CLIC eval data (reference:
+results/image_compression/) in a sandbox that ships no image datasets.
 
-Usage: python tools/make_synthetic_set.py [outdir]   (default /tmp/tpc_data)
+Usage: python tools/make_synthetic_set.py [outdir] [num_train]
 """
 
 from __future__ import annotations
@@ -40,20 +43,24 @@ def make(h: int, w: int, seed: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def main(outdir: str = "/tmp/tpc_data") -> None:
+def main(outdir: str = "/tmp/tpc_data", num_train: str = "160") -> None:
     from compression_tpu.util import image as image_util
 
+    n = int(num_train)
     os.makedirs(os.path.join(outdir, "train"), exist_ok=True)
     os.makedirs(os.path.join(outdir, "eval"), exist_ok=True)
-    for i in range(24):
+    for i in range(n):
+        # Train seeds 0..95 then 112+: the eval block (100..103) and a
+        # guard margin are never used for training.
+        seed = i if i < 96 else i + 16
         image_util.write_png(
-            os.path.join(outdir, "train", f"{i:03d}.png"), make(256, 256, i)
+            os.path.join(outdir, "train", f"{i:03d}.png"), make(256, 256, seed)
         )
     for i in range(4):
         image_util.write_png(
             os.path.join(outdir, "eval", f"{i}.png"), make(512, 768, 100 + i)
         )
-    print(f"dataset written to {outdir} (24 train @256, 4 eval @768x512)")
+    print(f"dataset written to {outdir} ({n} train @256, 4 eval @768x512)")
 
 
 if __name__ == "__main__":
