@@ -214,6 +214,37 @@ class Codec:
         return np.asarray(jax.device_get(x_hat), np.uint8)
 
 
+def sharded_analyze(model: BLS2017Model, params, x, mesh, axis: str = "data"):
+    """H-sharded analysis transform for images too large for one chip's HBM
+    (SURVEY.md §5 plan (b): the image-domain analog of context parallelism).
+
+    Each SignalConv runs as a halo-exchange sharded conv over the mesh
+    (`parallel.spatial.sharded_signal_conv2d`, ppermute over ICI); GDN is
+    pointwise across space, so it applies to the sharded array directly and
+    XLA keeps the sharding. Matches ``model.apply(..., method=analyze)``
+    exactly (same kernels, same padding arithmetic).
+
+    Args:
+      x: (N, H, W, 3) float in [0, 1]; H divisible by mesh size * 16.
+    """
+    from compression_tpu.layers import GDN
+    from compression_tpu.parallel.spatial import sharded_signal_conv2d
+
+    p = params["params"]["analysis"]
+    x = jnp.asarray(x, p["conv0"]["kernel"].dtype)  # match param dtype
+    strides = (4, 2, 2)
+    for i in range(3):
+        conv = p[f"conv{i}"]
+        x = sharded_signal_conv2d(
+            x, conv["kernel"], mesh, axis, corr=True, strides_down=strides[i]
+        )
+        if "bias" in conv:
+            x = x + conv["bias"]
+        if i < 2:
+            x = GDN().apply({"params": p[f"gdn{i}"]}, x)
+    return x
+
+
 def make_codec(model: BLS2017Model, params) -> Codec:
     from compression_tpu.models.codec_cache import cached
 

@@ -8,12 +8,17 @@ ring-attention/context parallelism (SURVEY.md §5: build (b)) — the
 reference has no equivalent (it runs whole images through TF convs and is
 simply memory-bound).
 
-Restrictions (deliberate, covers the codec workloads): stride-1 "same"
-convolution, channels-last, sharding along the H axis only, shard height
->= halo width.
+Restrictions (deliberate, covers the codec workloads): "same_zeros"
+padding, channels-last, sharding along the H axis only, shard height
+>= halo width and divisible by the H stride. Downsampling strides are
+supported (the analysis transforms are the memory-pressure direction:
+they ingest the full-resolution image); transposed upsampling is not —
+decode-side memory peaks at the small latent, where sharding buys nothing.
 """
 
 from __future__ import annotations
+
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -26,18 +31,34 @@ __all__ = ["sharded_signal_conv2d"]
 
 
 def sharded_signal_conv2d(x, kernel, mesh: Mesh, axis: str = "data",
-                          corr: bool = True):
-    """`signal_conv(..., padding="same_zeros")` with H sharded over `axis`.
+                          corr: bool = True,
+                          strides_down: Union[int, Sequence[int]] = 1):
+    """`signal_conv(..., padding="same_zeros", strides_down=s)` with H
+    sharded over `axis`.
+
+    Window alignment: "same" padding totals kh-1 regardless of stride, so
+    shard i's first output window starts at global row ``i*H_loc - pad_lo``
+    — exactly the halo-extended local row 0 — and advances by the stride;
+    with ``H_loc % s == 0`` every shard produces ``H_loc/s`` rows and the
+    concatenation equals the dense result.
 
     Args:
-      x: (N, H, W, C) with H divisible by the mesh axis size.
+      x: (N, H, W, C) with H divisible by (mesh axis size * H stride).
       kernel: (kh, kw, C, Cout).
+      strides_down: int or (sh, sw) downsampling stride.
 
     Returns:
-      (N, H, W, Cout), sharded the same way.
+      (N, H/sh, W/sw ("same" semantics), Cout), sharded the same way.
     """
+    sh, sw = ((strides_down,) * 2 if isinstance(strides_down, int)
+              else tuple(strides_down))
     (pad_lo, pad_hi), _ = same_padding_for_kernel(kernel.shape[:2], corr)
     n_shards = mesh.shape[axis]
+    if (x.shape[1] // n_shards) % sh:
+        raise ValueError(
+            f"shard height {x.shape[1]}/{n_shards} must be divisible by the "
+            f"H stride {sh}"
+        )
 
     def local(x_local, kernel):
         idx = jax.lax.axis_index(axis)
@@ -63,6 +84,7 @@ def sharded_signal_conv2d(x, kernel, mesh: Mesh, axis: str = "data",
             kernel,
             corr=corr,
             padding="valid",
+            strides_down=(sh, sw),
         )
         return y
 
