@@ -6,8 +6,10 @@ Layout:
   host.py      — batched NumPy-facing API (the models' fast path)
   _numpy_ref.py— pure-NumPy executable spec, fuzz-tested against the C++
   jax_ops.py   — jax.pure_callback wrappers for fully-jitted pipelines
+  xla_cdf.py   — PMF->CDF quantization in pure XLA (on-device table builds)
 """
 
+from compression_tpu.codec.xla_cdf import pmf_to_quantized_cdf_xla
 from compression_tpu.codec.host import (
     encode_capacity,
     entropy_decode,
@@ -22,6 +24,7 @@ __all__ = [
     "entropy_encode",
     "entropy_decode",
     "pmf_to_quantized_cdf",
+    "pmf_to_quantized_cdf_xla",
     "run_length_gamma_encode",
     "run_length_gamma_decode",
 ]

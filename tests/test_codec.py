@@ -207,3 +207,42 @@ def test_worst_case_escape_capacity():
     back = host.entropy_decode(s, idx, cdfs, lengths, offsets, 12)
     np.testing.assert_array_equal(back, vals)
     assert len(s[0]) <= host.encode_capacity(vals.size, 12)
+
+
+class TestXlaCdf:
+    """XLA PMF->CDF quantizer must match the authoritative C++ row-for-row
+    (same host float64; SURVEY §2.1 N3 'do both and cross-check')."""
+
+    def test_matches_cpp_random_rows(self):
+        import numpy as np
+        from compression_tpu.codec import (
+            pmf_to_quantized_cdf,
+            pmf_to_quantized_cdf_xla,
+        )
+
+        rng = np.random.RandomState(0)
+        num, max_len = 24, 17
+        lengths = rng.randint(2, max_len + 1, num).astype(np.int32)
+        pmf = rng.dirichlet(np.ones(max_len), num)
+        # Pathological rows: zeros, non-finite, huge dynamic range.
+        pmf[0] = 0.0
+        pmf[1, : lengths[1]] = [np.inf] + [1.0] * (lengths[1] - 1)
+        pmf[2, : lengths[2]] = 10.0 ** -rng.uniform(0, 18, lengths[2])
+        for prec in (8, 12, 16):
+            want = pmf_to_quantized_cdf(pmf, lengths, prec)
+            got = np.asarray(pmf_to_quantized_cdf_xla(pmf, lengths, prec))
+            np.testing.assert_array_equal(got, want)
+
+    def test_inside_jit(self):
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+        from compression_tpu.codec import pmf_to_quantized_cdf_xla
+
+        @jax.jit
+        def build(pmf, lengths):
+            return pmf_to_quantized_cdf_xla(pmf, lengths, 12)
+
+        pmf = jnp.asarray([[0.5, 0.3, 0.2, 0.0]], jnp.float64)
+        cdf = np.asarray(build(pmf, jnp.asarray([3], jnp.int32)))
+        assert cdf[0, 0] == 0 and cdf[0, 3] == 1 << 12 and cdf[0, 4] == 0
