@@ -197,8 +197,13 @@ class Codec:
         # embeds weights into the HLO; large models exceed remote-compile
         # limits). self._p is device-resident, so calls cost nothing extra.
         self._p = params
+        # uint8 in, normalize on device: 4x less host->device traffic
+        # (see bmshj2018.Codec._encode_front_p).
         _encode = jax.jit(
-            lambda p, x: model.apply(p, x, method=MBT2018Model.encode_latents)
+            lambda p, xu8: model.apply(
+                p, xu8.astype(jnp.float32) / 255.0,
+                method=MBT2018Model.encode_latents,
+            )
         )
         _hparams = jax.jit(
             lambda p, z: model.apply(
@@ -236,10 +241,12 @@ class Codec:
     # -- encode: one async device chain, one host sync -----------------------
 
     def _dispatch_encode(self, images: np.ndarray):
-        x, (h, w) = image_util.pad_to_multiple(
-            jnp.asarray(images, jnp.float32) / 255.0, self.cfg.downscale
+        from compression_tpu.models.bmshj2018 import Codec as _B
+
+        x, (h, w) = _B._pad_np(
+            np.asarray(images, np.uint8), self.cfg.downscale
         )
-        y, z = self._encode(x)
+        y, z = self._encode(jnp.asarray(x))
         z_sym = self._z_symbols(z)
         z_hat = self._z_hat(z_sym)
         mu, sigma = self._params(z_hat)

@@ -290,8 +290,13 @@ class Codec:
         # embeds weights into the HLO; large models exceed remote-compile
         # limits). self._p is device-resident, so calls cost nothing extra.
         self._p = params
+        # uint8 in, normalize on device: 4x less host->device traffic
+        # (see bmshj2018.Codec._encode_front_p).
         _encode = jax.jit(
-            lambda p, x: model.apply(p, x, method=MS2020Model.encode_latents)
+            lambda p, xu8: model.apply(
+                p, xu8.astype(jnp.float32) / 255.0,
+                method=MS2020Model.encode_latents,
+            )
         )
         _supports = jax.jit(
             lambda p, z: model.apply(
@@ -371,10 +376,10 @@ class Codec:
     def _dispatch_encode(self, images: np.ndarray):
         cfg = self.cfg
         s = cfg.slice_size
-        x, (h, w) = image_util.pad_to_multiple(
-            jnp.asarray(images, jnp.float32) / 255.0, cfg.downscale
-        )
-        y, z = self._encode(x)
+        from compression_tpu.models.bmshj2018 import Codec as _B
+
+        x, (h, w) = _B._pad_np(np.asarray(images, np.uint8), cfg.downscale)
+        y, z = self._encode(jnp.asarray(x))
         z_sym = self._z_symbols(z)
         z_hat = self._z_hat(z_sym)
         mu_sup, sigma_sup = self._supports(z_hat)
