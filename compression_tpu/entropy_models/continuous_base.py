@@ -152,9 +152,15 @@ class ContinuousEntropyModelBase:
         return helpers.quantization_offset(self.prior)
 
     def quantize(self, y, offset=None):
-        """Round to the offset grid with straight-through gradients."""
+        """Round to the offset grid with straight-through gradients.
+
+        The heuristic grid offset is a non-differentiable placement
+        decision (and its root-finder runs in a `lax.while_loop`, which has
+        no reverse-mode), so it is stop-gradient'd — gradients flow through
+        the straight-through round only. Usable inside training steps
+        (mixed-quantization recipes)."""
         if offset is None:
-            offset = self.quantization_offset()
+            offset = jax.lax.stop_gradient(self.quantization_offset())
         from compression_tpu.ops.round_ops import round_st
 
         return round_st(y, offset)

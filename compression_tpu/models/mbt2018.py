@@ -117,15 +117,23 @@ class MBT2018Model(nn.Module):
         )
 
     def __call__(self, x, rng, training: bool = True):
+        """Mixed-quantization training (reference ms2020-era recipe, which
+        introduced mbt2018-mean as its baseline): rate terms use the
+        additive-noise surrogate, but every value another network consumes
+        (hyper-synthesis input, synthesis input) is the STE-rounded value
+        the real decoder will see — a noise-trained synthesis otherwise
+        loses several dB at eval to the train/test mismatch."""
         rng_y, rng_z = jax.random.split(rng)
         y = self.analysis(x)
         z = self.hyper_analysis(y)
         side_em = ContinuousBatchedEntropyModel(self.hyperprior(), coding_rank=3)
-        z_tilde, z_bits = side_em(z, rng=rng_z, training=training)
-        mu, sigma = self.hyper_synthesis(z_tilde)
+        _, z_bits = side_em(z, rng=rng_z, training=training)
+        z_hat = side_em.quantize(z)
+        mu, sigma = self.hyper_synthesis(z_hat)
         em = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
-        y_tilde, y_bits = em(y, sigma, loc=mu, rng=rng_y, training=training)
-        x_hat = self.synthesis(y_tilde)
+        _, y_bits = em(y, sigma, loc=mu, rng=rng_y, training=training)
+        y_hat = em.quantize(y, loc=mu)
+        x_hat = self.synthesis(y_hat)
         return x_hat, y_bits, z_bits
 
     def encode_latents(self, x):

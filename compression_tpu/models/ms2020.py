@@ -187,9 +187,12 @@ class MS2020Model(nn.Module):
         y = self.analysis(x)
         z = self.hyper_analysis(y)
         side_em = ContinuousBatchedEntropyModel(self.hyperprior(), coding_rank=3)
-        z_tilde, z_bits = side_em(z, rng=rng_z, training=training)
-        mu_sup = self.mean_support(z_tilde)
-        sigma_sup = self.scale_support(z_tilde)
+        _, z_bits = side_em(z, rng=rng_z, training=training)
+        # Supports see the decoder's z (STE round); rate uses the noise
+        # surrogate above (mixed quantization — matching the y path below).
+        z_hat = side_em.quantize(z)
+        mu_sup = self.mean_support(z_hat)
+        sigma_sup = self.scale_support(z_hat)
 
         em = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
         decoded: List = []
