@@ -175,7 +175,9 @@ def cmd_train(args) -> int:
         if args.lmbda is not None:
             cfg = _dc.replace(cfg, lmbda=args.lmbda)
         model, params = mod.train(cfg, tc)
-    path = os.path.join(registry.model_dir(), f"{args.model}.msgpack")
+    # Variable-rate families save under their base name (one checkpoint
+    # serves all rate points) — checkpoint_path knows.
+    path = registry.checkpoint_path(args.model)
     save_checkpoint(path, params, tc.steps)
     print(f"saved {path}")
     return 0
@@ -203,6 +205,21 @@ def cmd_eval(args) -> int:
             "note: images below 176px present — reporting single-scale "
             "SSIM for the whole set instead of MS-SSIM"
         )
+    lpips_fn = None
+    if getattr(args, "lpips", False):
+        # Perceptual column (the HiFiC eval metric, reference
+        # models/hific/evaluate.py). Honest labeling: without converted
+        # VGG/LPIPS weights the fallback random-VGG features are a
+        # smoke-grade perceptual proxy — make_lpips warns loudly.
+        import jax as _jax
+
+        from compression_tpu.models.hific.lpips import make_lpips
+
+        lp_model, lp_params = make_lpips(64)
+        _lp = _jax.jit(
+            lambda a, b: lp_model.apply(lp_params, a[None], b[None])[0]
+        )
+        lpips_fn = lambda a, b: float(_lp(a / 255.0, b / 255.0))  # noqa: E731
     rows = []
     for path in paths:
         image = image_util.read_png(path)
@@ -217,22 +234,34 @@ def cmd_eval(args) -> int:
         a = jnp.asarray(image, jnp.float32)
         b = jnp.asarray(recon, jnp.float32)
         ms = float(image_util.msssim(a, b) if use_ms else image_util.ssim(a, b))
-        rows.append((os.path.basename(path), bpp, psnr, ms))
+        row = [os.path.basename(path), bpp, psnr, ms]
+        extra = ""
+        if lpips_fn is not None:
+            row.append(lpips_fn(a, b))
+            extra = f" lpips={row[-1]:.4f}"
+        rows.append(tuple(row))
         print(
             f"{rows[-1][0]:24s} bpp={bpp:.4f} psnr={psnr:.2f} "
-            f"{metric_name}={ms:.4f}"
+            f"{metric_name}={ms:.4f}" + extra
         )
-    mean = np.mean(np.array([(r[1], r[2], r[3]) for r in rows]), axis=0)
+    mean = np.mean(np.array([r[1:] for r in rows], np.float64), axis=0)
+    extra = f" lpips={mean[3]:.4f}" if lpips_fn is not None else ""
     print(
         f"{'MEAN':24s} bpp={mean[0]:.4f} psnr={mean[1]:.2f} "
-        f"{metric_name}={mean[2]:.4f}"
+        f"{metric_name}={mean[2]:.4f}" + extra
     )
     if args.csv:
+        lp_col = ",lpips" if lpips_fn is not None else ""
         with open(args.csv, "w") as f:
-            f.write(f"image,bpp,psnr,{metric_name}\n")
-            for name, bpp, psnr, ms in rows:
-                f.write(f"{name},{bpp:.6f},{psnr:.4f},{ms:.6f}\n")
-            f.write(f"mean,{mean[0]:.6f},{mean[1]:.4f},{mean[2]:.6f}\n")
+            f.write(f"image,bpp,psnr,{metric_name}{lp_col}\n")
+            for row in rows:
+                f.write(
+                    row[0] + "," + ",".join(f"{v:.6f}" for v in row[1:])
+                    + "\n"
+                )
+            f.write(
+                "mean," + ",".join(f"{v:.6f}" for v in mean) + "\n"
+            )
         print(f"wrote {args.csv}")
     return 0
 
@@ -293,6 +322,11 @@ def main(argv=None) -> int:
     sp.add_argument("glob")
     sp.add_argument("--csv", default=None)
     sp.add_argument("--allow-random", action="store_true")
+    sp.add_argument(
+        "--lpips", action="store_true",
+        help="add an LPIPS column (needs converted weights for parity; "
+        "random-VGG fallback is smoke-grade and warns)",
+    )
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("train", help="train a model into the local registry")
