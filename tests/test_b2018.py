@@ -59,7 +59,7 @@ def test_roundtrip_at_each_rate_point():
 
         m = b2018.B2018Model(dataclasses.replace(cfg, quality=quality))
         params = _init(m)
-        data = m and b2018.compress(m, params, image)
+        data = b2018.compress(m, params, image)
         assert isinstance(data, bytes) and len(data) > 0
         out = b2018.decompress(m, params, data)
         assert out.shape == image.shape and out.dtype == np.uint8
