@@ -54,11 +54,13 @@ def _filter_kwargs(cfg_cls, kw: dict) -> dict:
     return {k: v for k, v in kw.items() if k in names}
 
 
-def _bls2017(lmbda: float = 0.01, name: Optional[str] = None):
+def _bls2017(lmbda: float = 0.01, name: Optional[str] = None,
+         distortion: str = "mse"):
     from compression_tpu.models import bls2017
 
     cfg = bls2017.Config(
-        lmbda=lmbda, **_filter_kwargs(bls2017.Config, _tiny_overrides())
+        lmbda=lmbda, distortion=distortion,
+        **_filter_kwargs(bls2017.Config, _tiny_overrides()),
     )
     if name:
         cfg = dataclasses.replace(cfg, model_name=name)
@@ -72,11 +74,13 @@ def _bls2017(lmbda: float = 0.01, name: Optional[str] = None):
     )
 
 
-def _bmshj2018(lmbda: float = 0.01, name: Optional[str] = None):
+def _bmshj2018(lmbda: float = 0.01, name: Optional[str] = None,
+         distortion: str = "mse"):
     from compression_tpu.models import bmshj2018
 
     cfg = bmshj2018.Config(
-        lmbda=lmbda, **_filter_kwargs(bmshj2018.Config, _tiny_overrides())
+        lmbda=lmbda, distortion=distortion,
+        **_filter_kwargs(bmshj2018.Config, _tiny_overrides()),
     )
     if name:
         cfg = dataclasses.replace(cfg, model_name=name)
@@ -90,11 +94,13 @@ def _bmshj2018(lmbda: float = 0.01, name: Optional[str] = None):
     )
 
 
-def _mbt2018(lmbda: float = 0.01, name: Optional[str] = None):
+def _mbt2018(lmbda: float = 0.01, name: Optional[str] = None,
+         distortion: str = "mse"):
     from compression_tpu.models import mbt2018
 
     cfg = mbt2018.Config(
-        lmbda=lmbda, **_filter_kwargs(mbt2018.Config, _tiny_overrides())
+        lmbda=lmbda, distortion=distortion,
+        **_filter_kwargs(mbt2018.Config, _tiny_overrides()),
     )
     if name:
         cfg = dataclasses.replace(cfg, model_name=name)
@@ -108,11 +114,13 @@ def _mbt2018(lmbda: float = 0.01, name: Optional[str] = None):
     )
 
 
-def _ms2020(lmbda: float = 0.01, name: Optional[str] = None):
+def _ms2020(lmbda: float = 0.01, name: Optional[str] = None,
+         distortion: str = "mse"):
     from compression_tpu.models import ms2020
 
     cfg = ms2020.Config(
-        lmbda=lmbda, **_filter_kwargs(ms2020.Config, _tiny_overrides())
+        lmbda=lmbda, distortion=distortion,
+        **_filter_kwargs(ms2020.Config, _tiny_overrides()),
     )
     if name:
         cfg = dataclasses.replace(cfg, model_name=name)
@@ -185,22 +193,32 @@ def _hific(name: str):
 
 
 # Quality index -> lambda, approximating the reference's quality ladders
-# (reference: models/bmshj2018.py λ sweep for qualities 1-8).
+# (reference: models/bmshj2018.py λ sweep for qualities 1-8). MS-SSIM
+# models weight `1 - MS-SSIM` instead of 255^2-MSE, so their lambdas live
+# on a different scale (the standard 8-point msssim ladder).
 _LAMBDA_LADDER = (0.0016, 0.0032, 0.0075, 0.015, 0.03, 0.045, 0.08, 0.14)
+_MSSSIM_LADDER = (2.40, 4.58, 8.73, 16.64, 31.73, 60.50, 115.37, 220.0)
 
 
-def _ladder_lambda(quality: int) -> float:
-    if not 1 <= quality <= len(_LAMBDA_LADDER):
-        raise KeyError(
-            f"quality {quality} out of range 1..{len(_LAMBDA_LADDER)}"
-        )
-    return _LAMBDA_LADDER[quality - 1]
+def _ladder_lambda(quality: int, base: str) -> float:
+    ladder = _MSSSIM_LADDER if base.endswith("msssim") else _LAMBDA_LADDER
+    if not 1 <= quality <= len(ladder):
+        raise KeyError(f"quality {quality} out of range 1..{len(ladder)}")
+    return ladder[quality - 1]
 
 
 # Base builders (lmbda, requested_name) -> ModelEntry; quality-suffixed
 # names resolve through `resolve`.
+import functools as _ft
+
 REGISTRY: Dict[str, Callable[..., ModelEntry]] = {
     "bls2017-factorized-mse": _bls2017,
+    "bls2017-factorized-msssim": _ft.partial(_bls2017, distortion="msssim"),
+    "bmshj2018-hyperprior-msssim": _ft.partial(
+        _bmshj2018, distortion="msssim"
+    ),
+    "mbt2018-mean-msssim": _ft.partial(_mbt2018, distortion="msssim"),
+    "ms2020-cc10-msssim": _ft.partial(_ms2020, distortion="msssim"),
     "bmshj2018-hyperprior": _bmshj2018,
     "bmshj2018-hyperprior-mse": _bmshj2018,
     "mbt2018-mean": _mbt2018,
@@ -273,7 +291,10 @@ def resolve(name: str) -> Tuple[ModelEntry, Optional[str]]:
         # conditioning input (reference: tfci.py b2018 --rd_parameter).
         entry = REGISTRY[base](quality, name)
     else:
-        lmbda = _ladder_lambda(quality) if quality is not None else 0.01
+        if quality is not None:
+            lmbda = _ladder_lambda(quality, base)
+        else:
+            lmbda = 31.73 if base.endswith("msssim") else 0.01
         entry = REGISTRY[base](lmbda, name)
     ckpt = checkpoint_path(name)
     return entry, (ckpt if os.path.exists(ckpt) else None)

@@ -34,6 +34,7 @@ __all__ = ["BLS2017Model", "Config"]
 @dataclasses.dataclass(frozen=True)
 class Config:
     lmbda: float = 0.01
+    distortion: str = "mse"        # "mse" | "msssim" (reference -msssim zoo)
     num_filters: int = 128
     coding_rank: int = 3
     model_name: str = "bls2017"
@@ -134,9 +135,9 @@ def make_loss_fn(model: BLS2017Model):
         x_hat, bits = model.apply(params, x, rng, training=True)
         num_pixels = x.shape[1] * x.shape[2]
         bpp = jnp.mean(bits) / num_pixels
-        mse = jnp.mean(jnp.square(x - x_hat)) * (255.0**2)
-        loss = bpp + cfg.lmbda * mse
-        return loss, {"bpp": bpp, "mse": mse}
+        dist, mname, mval = common.distortion_loss(x, x_hat, cfg.distortion)
+        loss = bpp + cfg.lmbda * dist
+        return loss, {"bpp": bpp, mname: mval}
 
     return loss_fn
 

@@ -37,6 +37,32 @@ __all__ = [
 ]
 
 
+def distortion_loss(x, x_hat, kind: str = "mse"):
+    """Distortion term for the R-D losses, selected by config (the
+    reference ships separate ``-mse`` and ``-msssim`` model variants per
+    family; reference models/tfci.py model list).
+
+    Returns ``(loss_term, metric_name, metric_value)``:
+      mse:    255^2-scaled mean squared error (metric = the same).
+      msssim: ``1 - MS-SSIM`` on the [0, 1] images (single-scale SSIM when
+              the training patch is below MS-SSIM's 176px minimum —
+              training recipes should use >= 176px patches; metric = the
+              similarity itself).
+    """
+    if kind == "mse":
+        mse = jnp.mean(jnp.square(x - x_hat)) * (255.0**2)
+        return mse, "mse", mse
+    if kind == "msssim":
+        fn = (
+            image_util.msssim
+            if min(x.shape[1], x.shape[2]) >= 176
+            else image_util.ssim
+        )
+        sim = jnp.mean(fn(x, jnp.clip(x_hat, 0.0, 1.0), max_val=1.0))
+        return 1.0 - sim, "msssim", sim
+    raise ValueError(f"unknown distortion {kind!r} (mse | msssim)")
+
+
 @dataclasses.dataclass
 class TrainConfig:
     train_glob: Optional[str] = None   # image file glob; None = synthetic

@@ -41,6 +41,7 @@ __all__ = ["MBT2018Model", "Config"]
 @dataclasses.dataclass(frozen=True)
 class Config:
     lmbda: float = 0.01
+    distortion: str = "mse"        # "mse" | "msssim" (reference -msssim zoo)
     num_filters: int = 192
     num_latents: int = 320
     num_hyperlatents: int = 192
@@ -159,8 +160,8 @@ def make_loss_fn(model: MBT2018Model):
         x_hat, y_bits, z_bits = model.apply(params, x, rng, training=True)
         num_pixels = x.shape[1] * x.shape[2]
         bpp = (jnp.mean(y_bits) + jnp.mean(z_bits)) / num_pixels
-        mse = jnp.mean(jnp.square(x - x_hat)) * (255.0**2)
-        return bpp + cfg.lmbda * mse, {"bpp": bpp, "mse": mse}
+        dist, mname, mval = common.distortion_loss(x, x_hat, cfg.distortion)
+        return bpp + cfg.lmbda * dist, {"bpp": bpp, mname: mval}
 
     return loss_fn
 

@@ -163,3 +163,40 @@ def test_slim_dtype_selection():
     assert slim(arr([[-5, 200]])).dtype == np.int16
     assert slim(arr([[-5, 40000]])).dtype == np.int32
     assert slim(arr([[-40000, 5]])).dtype == np.int32
+
+
+def test_msssim_distortion_training():
+    """-msssim model variants (reference models/tfci.py name list): the
+    distortion knob trains against 1 - (MS-)SSIM with finite grads."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from compression_tpu.models import bmshj2018
+
+    cfg = bmshj2018.Config(
+        num_filters=8, num_latents=8, num_hyperlatents=4,
+        distortion="msssim", lmbda=31.73,
+    )
+    model = bmshj2018.BMSHJ2018Model(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), training=True
+    )
+    loss_fn = bmshj2018.make_loss_fn(model)
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, x, jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(loss))
+    assert "msssim" in metrics and -1.0 <= float(metrics["msssim"]) <= 1.0
+    assert all(
+        np.all(np.isfinite(np.asarray(g)))
+        for g in jax.tree_util.tree_leaves(grads)
+    )
+
+    from compression_tpu.cli import registry
+
+    entry, _ = registry.resolve("bmshj2018-hyperprior-msssim-5")
+    assert entry.config.distortion == "msssim"
+    assert entry.config.lmbda == 31.73
+    entry, _ = registry.resolve("ms2020-cc10-msssim-2")
+    assert entry.config.distortion == "msssim"
