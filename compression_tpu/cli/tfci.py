@@ -173,6 +173,12 @@ def cmd_train(args) -> int:
 
         cfg = entry.config
         if args.lmbda is not None:
+            if not any(f.name == "lmbda" for f in _dc.fields(cfg)):
+                raise SystemExit(
+                    f"--lmbda does not apply to {family} (variable-rate: "
+                    f"its rate points come from the config's lambdas "
+                    f"ladder; pick a quality at compress time instead)"
+                )
             cfg = _dc.replace(cfg, lmbda=args.lmbda)
         model, params = mod.train(cfg, tc)
     # Variable-rate families save under their base name (one checkpoint

@@ -36,6 +36,15 @@ def pmf_to_quantized_cdf_xla(pmf, pmf_lengths, precision: int):
       int32 ``[num_pmfs, max_len + 1]`` CDF rows; entries past
       ``length + 1`` are zero (the C++ convention).
     """
+    if not jax.config.jax_enable_x64:
+        # Silent float32 degradation would take different rounding and
+        # tie-break decisions than the float64 C++ quantizer — mismatched
+        # CDF rows decode to garbage. Fail loudly instead.
+        raise ValueError(
+            "pmf_to_quantized_cdf_xla requires float64 "
+            "(jax.config.update('jax_enable_x64', True)) to match the "
+            "authoritative C++ quantizer bit-for-bit"
+        )
     pmf = jnp.asarray(pmf, jnp.float64)
     if pmf.ndim == 1:
         pmf = pmf[None]

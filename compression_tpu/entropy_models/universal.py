@@ -149,12 +149,20 @@ class UniversalIndexedEntropyModel(ContinuousIndexedEntropyModel):
         L = self.num_noise_levels
         u = (np.arange(L) + 0.5) / L - 0.5  # dither value per level
         num = int(np.prod(self.index_ranges))
-        tiled = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(
-                jnp.asarray(a)[..., None], jnp.shape(a) + (L,)
-            ),
-            self.prior,
-        )
+        # Insert the noise-level axis AFTER the batch dims, not at the end:
+        # prior leaves may carry trailing parameter dims (e.g. the
+        # (d_out, d_in) matrices of a DeepFactorized-style prior), and the
+        # new batch shape must read batch + (L,) for every leaf.
+        nb = len(self.prior.batch_shape)
+
+        def tile(a):
+            a = jnp.asarray(a)
+            return jnp.broadcast_to(
+                jnp.expand_dims(a, nb),
+                a.shape[:nb] + (L,) + a.shape[nb:],
+            )
+
+        tiled = jax.tree_util.tree_map(tile, self.prior)
         self._offset_override = np.tile(u, num)
         try:
             return super().build_tables(tiled)

@@ -269,24 +269,28 @@ class Codec:
         self._analyze = lambda x, q: _analyze(self._p, x, q)
         self._synthesize = lambda y, q: _synthesize(self._p, y, q)
 
-    def _quality_index(self) -> int:
-        q = self.cfg.quality
-        if not 1 <= q <= self.cfg.num_qualities:
+    def _quality_index(self, quality: int) -> int:
+        if not 1 <= quality <= self.cfg.num_qualities:
             raise ValueError(
                 f"b2018 needs a runtime quality 1..{self.cfg.num_qualities} "
-                f"(got {q}); use a quality-suffixed name like "
+                f"(got {quality}); use a quality-suffixed name like "
                 f"'{self.cfg.model_name}-2'"
             )
-        return q - 1
+        return quality - 1
 
-    def compress(self, image: np.ndarray) -> bytes:
-        q = self._quality_index()
+    def compress(self, image: np.ndarray, *, quality: int,
+                 model_name: str) -> bytes:
+        # quality/model_name are PER-CALL: the codec cache is keyed on the
+        # params pytree, which all rate points of one checkpoint share —
+        # baking the quality into the Codec would silently serve the first
+        # rate point to every later one (round-2 review finding).
+        q = self._quality_index(quality)
         x = jnp.asarray(image, jnp.float32)[None] / 255.0
         x, (h, w) = image_util.pad_to_multiple(x, self.cfg.downscale)
         y = self._analyze(x, q)
         strings = self.ems[q].compress(y)
         packed = PackedTensors()
-        packed.model = self.cfg.model_name
+        packed.model = model_name
         packed.pack(
             [
                 strings[0],
@@ -316,7 +320,11 @@ def make_codec(model: B2018Model, params) -> Codec:
 
 def compress(model: B2018Model, params, image: np.ndarray) -> bytes:
     """uint8 (H, W, 3) image -> packed bytes at cfg.quality's rate point."""
-    return make_codec(model, params).compress(image)
+    return make_codec(model, params).compress(
+        image,
+        quality=model.config.quality,
+        model_name=model.config.model_name,
+    )
 
 
 def decompress(model: B2018Model, params, data: bytes) -> np.ndarray:

@@ -336,16 +336,9 @@ class Codec:
     def decompress_iter(self, blob_batches, depth: int = 2):
         """Staggers batches on worker threads so host range decoding
         overlaps the next batch's device work."""
-        import concurrent.futures as cf
+        from compression_tpu.parallel.pipeline import staggered_map
 
-        with cf.ThreadPoolExecutor(max_workers=max(1, depth)) as pool:
-            inflight = []
-            for blobs in blob_batches:
-                inflight.append(pool.submit(self.decompress_batch, blobs))
-                while len(inflight) >= max(1, depth):
-                    yield inflight.pop(0).result()
-            for fut in inflight:
-                yield fut.result()
+        yield from staggered_map(self.decompress_batch, blob_batches, depth)
 
     def decompress(self, data: bytes) -> np.ndarray:
         return self.decompress_batch([data])[0]

@@ -228,14 +228,20 @@ def train_ecvq(
 
 def rd_point_ntc(cfg: Config, source: Callable, *, steps=3000,
                  eval_n=65536, seed=0):
-    """Trains an NTC model and returns its (rate bits/sample, distortion)."""
+    """Trains an NTC model and returns its (rate bits/sample, distortion).
+
+    All eval samples are coded as ONE range-coder stream (coding_rank=2
+    over a (1, n, dim) batch): per-stream coder framing is a few bytes, so
+    one-stream-per-sample would bias the measured rate by ~tens of
+    bits/sample against NTC while ECVQ reports analytic code lengths
+    (round-2 review finding)."""
     model, params, _ = train(cfg, source, steps=steps, seed=seed)
     x = source(jax.random.PRNGKey(seed + 1), eval_n)
     prior = model.apply(params, method=NTCModel.get_prior)
-    em = ContinuousBatchedEntropyModel(prior, coding_rank=1, compression=True)
+    em = ContinuousBatchedEntropyModel(prior, coding_rank=2, compression=True)
     y = model.apply(params, x, method=NTCModel.analyze)
-    strings = em.compress(y)
-    y_hat = em.decompress(strings, ())
+    strings = em.compress(y[None])           # one stream for the whole set
+    y_hat = em.decompress(strings, (eval_n,))[0]
     x_hat = model.apply(params, y_hat, method=NTCModel.synthesize)
     rate = sum(len(s) for s in strings) * 8.0 / eval_n  # actual coded bits
     dist = float(jnp.mean(jnp.sum((x - x_hat) ** 2, axis=-1)))

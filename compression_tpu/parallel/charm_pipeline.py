@@ -48,13 +48,15 @@ def decompress_batch_pipelined(
     codec = ms2020.make_codec(model, params)
 
     # Group into batches of identical padded shape (lockstep decode needs
-    # uniform shapes; mixed inputs fall into separate groups).
+    # uniform shapes; mixed inputs fall into separate groups). Only the
+    # 2-int shape field is decoded here — the slice bitstreams are parsed
+    # once, inside decompress_batch.
     def shape_key(blob: bytes):
         packed = PackedTensors(blob)
-        fields = packed.unpack(
-            [object] * codec.cfg.num_slices + [object, np.int32, np.int32]
+        return tuple(
+            int(v)
+            for v in packed.unpack_one(codec.cfg.num_slices + 1, np.int32)
         )
-        return tuple(int(v) for v in fields[codec.cfg.num_slices + 1])
 
     groups: List[List[int]] = []
     by_shape = {}

@@ -23,7 +23,7 @@ from typing import Callable, Iterable, Iterator, List, TypeVar
 
 import jax
 
-__all__ = ["Pipeline", "pipeline_map"]
+__all__ = ["Pipeline", "pipeline_map", "staggered_map"]
 
 T = TypeVar("T")
 U = TypeVar("U")
@@ -59,3 +59,24 @@ class Pipeline:
 def pipeline_map(device_fn, host_fn, batches, depth: int = 2) -> List:
     """Eager convenience wrapper; returns results in order."""
     return list(Pipeline(device_fn, host_fn, depth).run(batches))
+
+
+def staggered_map(fn: Callable, items: Iterable, depth: int = 2) -> Iterator:
+    """Runs ``fn`` over ``items`` with up to ``depth`` calls in flight on
+    worker threads, yielding results in input order.
+
+    The decoder-side staggering primitive: each ``fn`` mixes async device
+    dispatch with blocking host range-decoding, so with two in flight the
+    device computes batch B's transforms while the host decodes batch A
+    (the only overlap a serial per-batch decode chain admits on one chip).
+    Shared by the mbt2018/ms2020 ``decompress_iter`` paths.
+    """
+    depth = max(1, int(depth))
+    with cf.ThreadPoolExecutor(max_workers=depth) as pool:
+        inflight: List[cf.Future] = []
+        for item in items:
+            inflight.append(pool.submit(fn, item))
+            while len(inflight) >= depth:
+                yield inflight.pop(0).result()
+        for fut in inflight:
+            yield fut.result()

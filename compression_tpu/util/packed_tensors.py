@@ -255,6 +255,20 @@ class PackedTensors:
             out.append((key, kind, len(vals), size))
         return out
 
+    def unpack_one(self, index: int, dtype) -> np.ndarray:
+        """Unpacks a single tensor by position — decoding only that field
+        (the batching front ends group blobs by their tiny shape fields;
+        decoding every multi-megabyte slice string just to read two ints
+        would double the parse work on the decode hot path)."""
+        feat = self._features.get(str(index))
+        if feat is None:
+            raise KeyError(f"no tensor {index} packed")
+        _kind, vals = _decode_feature(feat)
+        dtype = np.dtype(dtype) if not isinstance(dtype, np.dtype) else dtype
+        if dtype.kind == "S" or dtype == object:
+            return np.array(vals, dtype=object)
+        return np.array(vals, dtype=dtype)
+
     def unpack(self, dtypes: Sequence) -> List[np.ndarray]:
         """Unpacks tensors as 1-D arrays of the given NumPy dtypes."""
         out = []

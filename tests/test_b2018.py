@@ -51,24 +51,32 @@ def test_forward_and_loss_grads_all_qualities():
 
 
 def test_roundtrip_at_each_rate_point():
+    """ONE params pytree serves every rate point — including through the
+    params-keyed codec cache (quality travels per call, so switching
+    quality over the same checkpoint must not reuse the previous rate
+    point's encoder; round-2 review finding)."""
+    import dataclasses
+
     cfg = _tiny_cfg()
     image = (np.random.RandomState(1).rand(37, 45, 3) * 255).astype(np.uint8)
-    blobs = []
-    for quality in (1, cfg.num_qualities):
-        import dataclasses
+    base_model = b2018.B2018Model(dataclasses.replace(cfg, quality=1))
+    params = _init(base_model)  # shared across qualities, like a real ckpt
+    from compression_tpu.util import PackedTensors
 
-        m = b2018.B2018Model(dataclasses.replace(cfg, quality=quality))
-        params = _init(m)
+    for quality in (1, cfg.num_qualities):
+        m = b2018.B2018Model(
+            dataclasses.replace(
+                cfg, quality=quality,
+                model_name=f"{cfg.model_name}-{quality}",
+            )
+        )
         data = b2018.compress(m, params, image)
         assert isinstance(data, bytes) and len(data) > 0
+        # The packed blob self-describes the REQUESTED rate point.
+        assert PackedTensors(data).model == f"{cfg.model_name}-{quality}"
         out = b2018.decompress(m, params, data)
         assert out.shape == image.shape and out.dtype == np.uint8
         assert data == b2018.compress(m, params, image)  # deterministic
-        blobs.append(data)
-        # codec cache is keyed on params identity; drop it between models
-        from compression_tpu.models.codec_cache import invalidate
-
-        invalidate(params)
 
 
 def test_quality_required_for_compress():
