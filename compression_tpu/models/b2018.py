@@ -128,15 +128,31 @@ class B2018Model(nn.Module):
         self.prior = DeepFactorizedPrior(
             batch_shape=(cfg.num_qualities, cfg.num_filters)
         )
+        # Rate-point separation lives in these gains: finer effective
+        # quantization (larger gain) at higher lambdas. Initialize on the
+        # high-rate-distortion equilibrium g ~ sqrt(lambda) (normalized to
+        # 1 at the ladder's geometric mean): adam's per-step movement is
+        # ~lr, so gains initialized flat at 1.0 cannot reach a ~10x spread
+        # within a practical step budget — measured: after 4000 steps all
+        # four rate points still coded identically.
+        lam = np.asarray(cfg.lambdas, np.float32)
+        g0 = np.sqrt(lam / np.exp(np.mean(np.log(lam))))
+
+        def _gain_init(inverse: bool):
+            base = (1.0 / g0) if inverse else g0
+
+            def init(key, shape, dtype=jnp.float32):
+                return jnp.broadcast_to(
+                    jnp.asarray(base, dtype)[:, None], shape
+                )
+
+            return init
+
         self.gain = self.param(
-            "gain",
-            nn.initializers.ones_init(),
-            (cfg.num_qualities, cfg.num_filters),
+            "gain", _gain_init(False), (cfg.num_qualities, cfg.num_filters)
         )
         self.inv_gain = self.param(
-            "inv_gain",
-            nn.initializers.ones_init(),
-            (cfg.num_qualities, cfg.num_filters),
+            "inv_gain", _gain_init(True), (cfg.num_qualities, cfg.num_filters)
         )
 
     def __call__(self, x, rng, q=0, training: bool = True):
