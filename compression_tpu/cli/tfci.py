@@ -153,6 +153,9 @@ def cmd_train(args) -> int:
         checkpoint_name=f"{args.model}.train.msgpack",
         checkpoint_every=args.checkpoint_every,
         num_devices=args.num_devices,
+        learning_rate=args.lr,
+        lr_schedule=args.lr_schedule,
+        lr_final_scale=args.lr_final_scale,
     )
     if family == "hific":
         from compression_tpu.models import hific
@@ -344,6 +347,14 @@ def main(argv=None) -> int:
     sp.add_argument("--lmbda", type=float, default=None)
     sp.add_argument("--num-devices", type=int, default=1)
     sp.add_argument("--checkpoint-every", type=int, default=500)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument(
+        "--lr-schedule", default="constant",
+        choices=("constant", "step", "cosine"),
+        help="lr over [0, steps]: step = 10x drop at 85%% (reference "
+             "recipe), cosine = smooth decay to lr * lr-final-scale",
+    )
+    sp.add_argument("--lr-final-scale", type=float, default=0.1)
     sp.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)

@@ -92,6 +92,99 @@ def _upsample_zeros(x, strides_up, extra_pad_end):
     return x
 
 
+def _phase_upsampled_conv(x, kernel, sd, su, pad, extra_pad_end):
+    """Upsampled correlation via phase decomposition + depth-to-space.
+
+    Mathematically identical to the zero-stuffed (lhs-dilated) convolution of
+    the module spec, but expressed as ONE dense stride-1 conv producing
+    ``prod(su) * C_out`` channels followed by a reshape-interleave. Two
+    reasons this is the only up-sampling path used on the zero-padding modes:
+
+    1. **Speed**: an lhs-dilated conv multiplies structural zeros — at
+       ``su=4`` in 2D, 15/16 of the MXU work is wasted. The phase form does
+       exactly the useful FLOPs.
+    2. **Correctness on TPU**: the experimental TPU platform in this
+       environment miscompiles ``lhs_dilation`` convs once the kernel spans
+       enough dilation periods (measured: 9x9 or 8x8 kernels at
+       ``lhs_dilation=4`` return ~130% relative error, silently). The phase
+       form never emits lhs_dilation, sidestepping the bug for bls2017/
+       b2018's 9x9/4 transforms.
+
+    Args:
+      x: (N, *spatial, C_in); kernel: (*support, C_in, C_out) already in
+        correlation orientation; pad: per-dim (lo, hi) on the upsampled grid.
+
+    Returns the same array the direct dilated conv would (incl. downsample).
+    """
+    ndim = x.ndim - 2
+    n = x.shape[1:-1]
+    K = kernel.shape[:-2]
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    lo = [p[0] for p in pad]
+    hi = [
+        p[1] + (s - 1 if extra_pad_end else 0) for p, s in zip(pad, su)
+    ]
+    # Direct-spec output length per dim (before downsampling): upsampled
+    # length (n-1)*su+1, padded, VALID-correlated.
+    T = [
+        (n[d] - 1) * su[d] + 1 + lo[d] + hi[d] - K[d] + 1
+        for d in range(ndim)
+    ]
+    if any(t <= 0 for t in T):
+        raise ValueError(
+            f"empty output for input {n}, support {K}, padding {pad}"
+        )
+    # Phase kernels: y[su*q + p] = sum_m PK[p][m] * x[q + mlo + m], with
+    # PK[p][m] = kernel[su*(m+mlo) + lo - p] where defined, else 0.
+    mlo = [-(lo[d] // su[d]) for d in range(ndim)]
+    mhi = [(K[d] - 1 - lo[d] + su[d] - 1) // su[d] for d in range(ndim)]
+    M = [mhi[d] - mlo[d] + 1 for d in range(ndim)]
+    # Static gather indices over (*M, *su): j_d = su*(m+mlo) + lo - p.
+    grids = np.meshgrid(
+        *[np.arange(m) for m in M], *[np.arange(s) for s in su],
+        indexing="ij",
+    )
+    j = [
+        su[d] * (grids[d] + mlo[d]) + lo[d] - grids[ndim + d]
+        for d in range(ndim)
+    ]
+    valid = np.ones(j[0].shape, bool)
+    for d in range(ndim):
+        valid &= (j[d] >= 0) & (j[d] < K[d])
+    jc = [np.clip(j[d], 0, K[d] - 1) for d in range(ndim)]
+    pk = kernel[tuple(jc)]                    # (*M, *su, cin, cout)
+    pk = pk * jnp.asarray(valid, pk.dtype)[..., None, None]
+    # -> (*M, cin, *su * cout) flattened phase-major output channels.
+    perm = list(range(ndim)) + [2 * ndim] + list(range(ndim, 2 * ndim)) + [2 * ndim + 1]
+    pk = jnp.transpose(pk, perm)
+    P = int(np.prod(su))
+    pk = pk.reshape(tuple(M) + (cin, P * cout))
+
+    Q = [-(-T[d] // su[d]) for d in range(ndim)]
+    conv_pad = tuple(
+        (-mlo[d], Q[d] - 1 + mlo[d] + M[d] - n[d]) for d in range(ndim)
+    )
+    out = jax.lax.conv_general_dilated(
+        x, pk,
+        window_strides=(1,) * ndim,
+        padding=conv_pad,
+        dimension_numbers=_dim_numbers(ndim),
+    )                                          # (N, *Q, P*cout)
+    # Depth-to-space: (N, *Q, su_0.., cout) -> interleave phases per dim.
+    out = out.reshape(out.shape[:1] + tuple(Q) + tuple(su) + (cout,))
+    order = [0]
+    for d in range(ndim):
+        order += [1 + d, 1 + ndim + d]
+    out = jnp.transpose(out, order + [1 + 2 * ndim])
+    out = out.reshape(
+        (out.shape[0],) + tuple(Q[d] * su[d] for d in range(ndim)) + (cout,)
+    )
+    slices = (slice(None),) + tuple(
+        slice(0, T[d], sd[d]) for d in range(ndim)
+    ) + (slice(None),)
+    return out[slices]
+
+
 def signal_conv(
     x,
     kernel,
@@ -149,6 +242,11 @@ def signal_conv(
             pad = ((0, 0),) * ndim
         else:
             pad = same_padding_for_kernel(support, corr)
+        if any(s > 1 for s in su) and groups == 1:
+            # All up-sampling on the zero-padded modes goes through the
+            # phase decomposition (see _phase_upsampled_conv: faster on the
+            # MXU and avoids the platform's broken lhs_dilation lowering).
+            return _phase_upsampled_conv(x, kernel, sd, su, pad, extra_pad_end)
         # extra_pad_end zeros merge into the conv's high padding.
         end = tuple(s - 1 if extra_pad_end else 0 for s in su)
         conv_padding = tuple((lo, hi + e) for (lo, hi), e in zip(pad, end))

@@ -69,6 +69,13 @@ class TrainConfig:
     batch_size: int = 8
     patch_size: int = 256
     learning_rate: float = 1e-4
+    # Learning-rate schedule over [0, steps]: "constant" | "step" | "cosine".
+    # "step" drops the lr by lr_final_scale at lr_drop_frac * steps (the
+    # reference recipe: constant 1e-4, 10x drop for the final stretch);
+    # "cosine" decays smoothly to learning_rate * lr_final_scale.
+    lr_schedule: str = "constant"
+    lr_final_scale: float = 0.1
+    lr_drop_frac: float = 0.85
     steps: int = 1_000_000
     log_every: int = 100
     checkpoint_every: int = 5000
@@ -178,7 +185,22 @@ def train_model(
         rng, init_rng = jax.random.split(rng)
         params = init_fn(init_rng, batch0)
 
-    tx = optax.adam(cfg.learning_rate)
+    if cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    elif cfg.lr_schedule == "step":
+        lr = optax.piecewise_constant_schedule(
+            cfg.learning_rate,
+            {int(cfg.steps * cfg.lr_drop_frac): cfg.lr_final_scale},
+        )
+    elif cfg.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            cfg.learning_rate, cfg.steps, alpha=cfg.lr_final_scale
+        )
+    else:
+        raise ValueError(
+            f"unknown lr_schedule {cfg.lr_schedule!r} (constant|step|cosine)"
+        )
+    tx = optax.adam(lr)
     opt_state = tx.init(params)
     start_step = 0
     if cfg.checkpoint_dir:

@@ -57,6 +57,10 @@ class Config:
     num_latents: int = 320
     num_hyperlatents: int = 192
     num_slices: int = 10
+    # Autoregressive context cap: each slice conditions on at most this many
+    # previously decoded slices (reference models/ms2020.py
+    # max_support_slices=5) — bounds the slice-transform input widths.
+    max_support_slices: int = 5
     model_name: str = "ms2020-cc10"
     downscale: int = 64
 
@@ -67,17 +71,21 @@ class Config:
 
 
 class HyperAnalysisTransform(nn.Module):
-    num_filters: int
+    """y -> z, the paper's widths: 320 -> 256 -> hyperlatent depth
+    (reference models/ms2020.py HyperAnalysisTransform; wider first stage
+    than bmshj2018's because y itself is 320-deep here)."""
+
+    num_filters: int  # kept for config compat; widths below are the paper's
     num_hyperlatents: int
 
     @nn.compact
     def __call__(self, y):
         z = SignalConv2D(
-            self.num_filters, (3, 3), corr=True, padding="same_zeros",
+            320, (3, 3), corr=True, padding="same_zeros",
             use_bias=True, activation=nn.relu, name="conv0",
         )(y)
         z = SignalConv2D(
-            self.num_filters, (5, 5), corr=True, strides_down=2,
+            256, (5, 5), corr=True, strides_down=2,
             padding="same_zeros", use_bias=True, activation=nn.relu,
             name="conv1",
         )(z)
@@ -88,20 +96,22 @@ class HyperAnalysisTransform(nn.Module):
 
 
 class HyperSupportTransform(nn.Module):
-    """z_hat -> a support feature field (one each for means and scales)."""
+    """z_hat -> a support feature field (one each for means and scales);
+    widths 192 -> 256 -> 320 per the reference's two hyper-synthesis
+    transforms (models/ms2020.py HyperSynthesisTransform)."""
 
-    num_filters: int
+    num_filters: int  # kept for config compat
     num_out: int
 
     @nn.compact
     def __call__(self, z):
         z = SignalConv2D(
-            self.num_filters, (5, 5), corr=False, strides_up=2,
+            192, (5, 5), corr=False, strides_up=2,
             padding="same_zeros", use_bias=True, activation=nn.relu,
             name="conv0",
         )(z)
         z = SignalConv2D(
-            self.num_filters, (5, 5), corr=False, strides_up=2,
+            256, (5, 5), corr=False, strides_up=2,
             padding="same_zeros", use_bias=True, activation=nn.relu,
             name="conv1",
         )(z)
@@ -112,23 +122,35 @@ class HyperSupportTransform(nn.Module):
 
 
 class SliceTransform(nn.Module):
-    """Per-slice parameter/LRP network: 3x 3x3 convs, narrowing widths."""
+    """Per-slice parameter/LRP network: 5x5, 5x5, 3x3 convs with widths
+    224 -> 128 -> out (reference models/ms2020.py SliceTransform).
+
+    ``zero_final`` zero-initializes the last conv's kernel: used for the
+    LRP transforms so residual prediction starts exactly at zero (decoded
+    slices are unperturbed at init; tanh'(0)=1 keeps gradients alive) —
+    without it the autoregressive chain injects +-0.5-scale noise into
+    every downstream slice and the synthesis for the whole early phase of
+    training, which round 2 measured as persistent loss oscillation."""
 
     num_out: int
+    zero_final: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = SignalConv2D(
-            224, (3, 3), corr=True, padding="same_zeros", use_bias=True,
+            224, (5, 5), corr=True, padding="same_zeros", use_bias=True,
             activation=nn.relu, name="conv0",
         )(x)
         x = SignalConv2D(
-            128, (3, 3), corr=True, padding="same_zeros", use_bias=True,
+            128, (5, 5), corr=True, padding="same_zeros", use_bias=True,
             activation=nn.relu, name="conv1",
         )(x)
+        kw = {}
+        if self.zero_final:
+            kw["kernel_init"] = nn.initializers.zeros_init()
         return SignalConv2D(
             self.num_out, (3, 3), corr=True, padding="same_zeros",
-            use_bias=True, name="conv2",
+            use_bias=True, name="conv2", **kw,
         )(x)
 
 
@@ -156,7 +178,8 @@ class MS2020Model(nn.Module):
             SliceTransform(s, name=f"scale_t{i}") for i in range(cfg.num_slices)
         ]
         self.lrp_transforms = [
-            SliceTransform(s, name=f"lrp_t{i}") for i in range(cfg.num_slices)
+            SliceTransform(s, zero_final=True, name=f"lrp_t{i}")
+            for i in range(cfg.num_slices)
         ]
         self.hyperprior = DeepFactorizedPrior(
             batch_shape=(cfg.num_hyperlatents,)
@@ -164,19 +187,34 @@ class MS2020Model(nn.Module):
 
     # -- slice machinery ------------------------------------------------------
 
+    def _support(self, decoded: List) -> List:
+        """Caps the autoregressive context at max_support_slices decoded
+        slices (reference max_support_slices=5)."""
+        m = self.config.max_support_slices
+        return decoded if m < 0 else decoded[:m]
+
     def slice_params(self, i: int, mu_sup, sigma_sup, decoded: List):
         """(mu_i, sigma_i) from the supports and previously decoded slices."""
-        ctx = jnp.concatenate([mu_sup] + decoded, axis=-1)
+        support = self._support(decoded)
+        ctx = jnp.concatenate([mu_sup] + support, axis=-1)
         mu = self.mean_transforms[i](ctx)
-        ctx_s = jnp.concatenate([sigma_sup] + decoded, axis=-1)
+        ctx_s = jnp.concatenate([sigma_sup] + support, axis=-1)
         # lower_bound, not maximum: keeps rate gradients alive when the
         # predicted sigma starts below the scale-table floor (see bmshj2018).
         sigma = lower_bound(self.scale_transforms[i](ctx_s), SCALES_MIN)
         return mu, sigma
 
     def slice_lrp(self, i: int, mu_sup, decoded_with_current: List):
-        """Latent residual prediction, bounded to half a quantization bin."""
-        ctx = jnp.concatenate([mu_sup] + decoded_with_current, axis=-1)
+        """Latent residual prediction, bounded to half a quantization bin.
+
+        Context = the (capped) support slices plus the just-decoded slice
+        itself (reference: lrp_support = [mean_support, y_hat_slice])."""
+        ctx = jnp.concatenate(
+            [mu_sup]
+            + self._support(decoded_with_current[:-1])
+            + decoded_with_current[-1:],
+            axis=-1,
+        )
         return 0.5 * jnp.tanh(self.lrp_transforms[i](ctx))
 
     # -- training forward -----------------------------------------------------

@@ -222,3 +222,62 @@ def test_identity_initializer_is_identity():
     params = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(params, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-6, atol=1e-12)
+
+
+# Regression grid for the large-kernel/large-upsampling geometries of
+# bls2017/b2018 (9x9 strides_up=4): the platform's lhs_dilation conv
+# lowering silently miscompiles these on TPU (round-3 finding: ~130%
+# relative error for 8x8/9x9 kernels at dilation 4, which surfaced as
+# bls2017 "evaluating" 11 dB below its true quality). signal_conv now
+# routes ALL zero-padded upsampling through the phase decomposition
+# (_phase_upsampled_conv); this grid pins its correctness at the exact
+# geometries the dilated path got wrong, plus a margin of odd ones.
+GRID_BIG_UP = list(
+    itertools.product(
+        [7, 8, 9],            # kernel support
+        [True, False],        # corr
+        [1, 2],               # strides_down (sd>1 exercises the post-slice)
+        [4, 5],               # strides_up
+        ["valid", "same_zeros"],
+        [True, False],        # extra_pad_end
+    )
+)
+
+
+@pytest.mark.parametrize("k,corr,sd,su,padding,extra_pad_end", GRID_BIG_UP)
+def test_signal_conv_big_upsampling_matches_golden(
+    k, corr, sd, su, padding, extra_pad_end
+):
+    rng = np.random.RandomState(hash((k, corr, sd, su, 99)) % 2**31)
+    x = rng.randn(2, 6, 3)
+    kernel = rng.randn(k, 3, 2)
+    want = golden_signal_conv(
+        x, kernel, corr, (sd,), (su,), padding, extra_pad_end
+    )
+    got = sc.signal_conv(
+        jnp.asarray(x),
+        jnp.asarray(kernel),
+        corr=corr,
+        strides_down=sd,
+        strides_up=su,
+        padding=padding,
+        extra_pad_end=extra_pad_end,
+    )
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9, atol=1e-9)
+
+
+def test_signal_conv_2d_9x9_up4_matches_golden():
+    """The exact bls2017/b2018 synthesis geometry, in 2D."""
+    rng = np.random.RandomState(1234)
+    x = rng.randn(1, 5, 6, 4)
+    kernel = rng.randn(9, 9, 4, 3)
+    want = golden_signal_conv(
+        x, kernel, False, (1, 1), (4, 4), "same_zeros", True
+    )
+    got = sc.signal_conv(
+        jnp.asarray(x), jnp.asarray(kernel), corr=False,
+        strides_up=4, padding="same_zeros",
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8, atol=1e-8)
