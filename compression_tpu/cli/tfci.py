@@ -134,6 +134,30 @@ def cmd_dump(args) -> int:
         if key == "MD":
             continue
         print(f"tensor {key}: {kind:6s} x{count:<8d} {size} bytes")
+    if args.output:
+        # Reference parity (models/tfci.py dump ≈250): extract the packed
+        # tensors to a file, not just describe them. One .npz holds every
+        # tensor: int64/float features as 1-D arrays under their positional
+        # key; bytes features as uint8 arrays (key "<i>" for a single
+        # string, "<i>.<j>" per element otherwise) so the raw bitstreams
+        # are recoverable with .tobytes().
+        arrays = {"model": np.array(packed.model)}
+        for key, kind, count, _size in packed.describe():
+            if key == "MD":
+                continue
+            if kind == "bytes":
+                vals = packed.unpack_one(int(key), object)
+                if count == 1:
+                    arrays[key] = np.frombuffer(vals[0], np.uint8)
+                else:
+                    for j, v in enumerate(vals):
+                        arrays[f"{key}.{j}"] = np.frombuffer(v, np.uint8)
+            else:
+                arrays[key] = packed.unpack_one(
+                    int(key), np.int64 if kind == "int64" else np.float32
+                )
+        np.savez(args.output, **arrays)
+        print(f"wrote {args.output} ({len(arrays)} arrays)")
     return 0
 
 
@@ -324,6 +348,12 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("dump", help="inspect a .tfci container")
     sp.add_argument("input")
+    sp.add_argument(
+        "--output", default=None,
+        help="also extract every packed tensor to this .npz (reference "
+        "tfci.py dump writes named tensors out; bytes features land as "
+        "uint8 arrays)",
+    )
     sp.set_defaults(fn=cmd_dump)
 
     sp = sub.add_parser("eval", help="R-D evaluation over an image glob")

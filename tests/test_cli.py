@@ -56,9 +56,32 @@ def test_full_cycle_bls2017(cli_env, capsys):
     recon = image_util.read_png(out_png)
     assert recon.shape == img.shape
 
-    assert _main(["dump", tfci]) == 0
+    npz_path = str(tmp_path / "dump.npz")
+    assert _main(["dump", tfci, "--output", npz_path]) == 0
     dump = capsys.readouterr().out
     assert "model: bls2017" in dump and "tensor 0" in dump
+    # --output extracts the packed tensors verbatim (reference dump parity):
+    # every non-MD feature appears, and the bitstream bytes round-trip.
+    from compression_tpu.util import PackedTensors
+
+    packed = PackedTensors(open(tfci, "rb").read())
+    extracted = np.load(npz_path)
+    assert str(extracted["model"]) == "bls2017"
+    for key, kind, count, _size in packed.describe():
+        if key == "MD":
+            continue
+        if kind == "bytes" and count == 1:
+            assert (
+                extracted[key].tobytes()
+                == packed.unpack_one(int(key), object)[0]
+            )
+        elif kind != "bytes":
+            np.testing.assert_array_equal(
+                extracted[key],
+                packed.unpack_one(
+                    int(key), np.int64 if kind == "int64" else np.float32
+                ),
+            )
 
     csv = str(tmp_path / "rd.csv")
     assert _main(["eval", "bls2017", png, "--csv", csv]) == 0

@@ -75,6 +75,52 @@ def test_joint_train_step_and_roundtrip():
     assert data == hific.compress(model, g_params, image)
 
 
+def test_rate_hinge_steers_toy_rate_to_target():
+    """The two-lambda hinge (model.py:144, reference model.py rate
+    targeting) must *steer* rate to target, not merely weight it: with a
+    distortion pull whose gradient sits strictly between lambda_b and
+    lambda_a, a fixed lambda_a collapses rate toward 0 and a fixed
+    lambda_b lets it run away — only the hinge pins it at target_rate.
+
+    Toy generator: bpp = softplus(r) with one trainable r; distortion =
+    -c * bpp (constant gradient pull toward higher rate, c in
+    (lambda_b, lambda_a)). Run the identical descent under all three
+    lambda policies and check the equilibria."""
+    import optax
+
+    cfg = hific.get_config("hific-lo")  # target 0.14, lambdas 0.1 / 2^-4
+    c = 0.5 * (cfg.lambda_a + cfg.lambda_b)
+    assert cfg.lambda_b < c < cfg.lambda_a
+
+    def make_loss(policy):
+        def loss(r):
+            bpp = jax.nn.softplus(r)
+            if policy == "hinge":  # the exact expression from model.py:144
+                lam = jnp.where(
+                    bpp > cfg.target_rate, cfg.lambda_a, cfg.lambda_b
+                )
+            else:
+                lam = cfg.lambda_a if policy == "a" else cfg.lambda_b
+            return lam * bpp - c * bpp
+
+        return loss
+
+    def run(policy, steps=3000, lr=5e-3):
+        tx = optax.adam(lr)
+        grad = jax.jit(jax.grad(make_loss(policy)))
+        r = jnp.asarray(1.5)  # start well above target (bpp ~1.7)
+        opt = tx.init(r)
+        for _ in range(steps):
+            u, opt = tx.update(grad(r), opt, r)
+            r = optax.apply_updates(r, u)
+        return float(jax.nn.softplus(r))
+
+    hinge_bpp = run("hinge")
+    assert abs(hinge_bpp - cfg.target_rate) < 0.05, hinge_bpp
+    assert run("a") < 0.02           # always-push-down: rate collapses
+    assert run("b") > 1.7            # always-relax: rate runs away
+
+
 def test_configs():
     for name, rate in (("hific-lo", 0.14), ("hific-mi", 0.3), ("hific-hi", 0.45)):
         assert hific.get_config(name).target_rate == rate
