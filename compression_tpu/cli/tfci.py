@@ -119,7 +119,21 @@ def cmd_decompress(args) -> int:
         data = f.read()
     name = PackedTensors(data).model
     entry, model, params = _load_model(name, args.allow_random)
-    image = entry.decompress(model, params, data)
+    if getattr(args, "jit", False):
+        # The in-jit serving decoder: the whole decode is ONE compiled
+        # program with two pure_callback range-decodes (SURVEY §2.1 design
+        # intent; byte-exact vs the staged path, tests/test_jit_decode.py).
+        if entry.family != "bmshj2018":
+            raise SystemExit(
+                f"--jit decode is implemented for the bmshj2018 family; "
+                f"{name!r} is {entry.family}"
+            )
+        from compression_tpu.models import bmshj2018 as _bmshj
+
+        codec = _bmshj.make_codec(model, params)
+        image = codec.decompress_batch_jit([data])[0]
+    else:
+        image = entry.decompress(model, params, data)
     out = args.output or os.path.splitext(args.input)[0] + ".png"
     image_util.write_png(out, image)
     print(f"{out}: {image.shape[1]}x{image.shape[0]} (model {name})")
@@ -344,6 +358,11 @@ def main(argv=None) -> int:
     sp.add_argument("input")
     sp.add_argument("output", nargs="?")
     sp.add_argument("--allow-random", action="store_true")
+    sp.add_argument(
+        "--jit", action="store_true",
+        help="decode through the single-compiled-program path (entropy "
+        "decoding via in-jit callbacks; bmshj2018 family only)",
+    )
     sp.set_defaults(fn=cmd_decompress)
 
     sp = sub.add_parser("dump", help="inspect a .tfci container")

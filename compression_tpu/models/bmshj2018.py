@@ -278,6 +278,8 @@ class Codec:
 
         self.cfg = model.config
         self.timer = StageTimer()
+        self._model = model
+        self._jit_decoders: dict = {}
         hyperprior = model.apply(params, method=BMSHJ2018Model.get_hyperprior)
         side_proto = ContinuousBatchedEntropyModel(hyperprior, coding_rank=3)
         main_proto = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
@@ -515,6 +517,102 @@ class Codec:
 
     def decompress(self, data: bytes) -> np.ndarray:
         return self.decompress_batch([data])[0]
+
+    # -- fully-jitted serving decode (in-jit coding surface) -----------------
+    #
+    # SURVEY.md §2.1's design intent for the gen_ops equivalent: entropy
+    # coding callable *inside* compiled programs. This is the product path
+    # that exercises it: the ENTIRE decode — z range-decode -> z_hat ->
+    # hyper-synthesis sigma -> CDF rows -> y range-decode -> synthesis ->
+    # uint8 — is ONE jitted program with two `pure_callback`s into the
+    # native coder (codec/jax_ops.py). vs the staged host path
+    # (_dispatch_decode/_finish_decode): one dispatch instead of five, no
+    # intermediate host round-trips for z_hat/sigma/rows — at the price of
+    # shipping fixed-capacity bitstream buffers through the device. The
+    # callbacks act as XLA barriers, so the sigma/rows subprogram between
+    # them compiles like the standalone shared jits and the decoded bytes
+    # match the host path exactly (asserted in tests/test_jit_decode.py).
+
+    def _build_jit_decoder(self, n, zshape, sigshape, capz, capy):
+        from compression_tpu.codec.jax_ops import make_jax_decoder
+
+        model = self._model
+        side_dec = make_jax_decoder(self.side_em.tables)
+        main_dec = make_jax_decoder(self.em.tables)
+        z_unit = tuple(zshape) + self.side_em.prior_batch_shape
+        z_idx = jnp.asarray(
+            np.broadcast_to(
+                self.side_em._flat_indexes(z_unit),
+                (n, int(np.prod(z_unit))),
+            )
+        )
+        z_off = self.side_em.symbol_offset()
+
+        def decode_prog(p, z_data, z_len, y_data, y_len):
+            z_vals = side_dec(z_data, z_len, z_idx)
+            # z_hat exactly as the encoder formed it: int symbols + f32
+            # offset (both exact in f32 — the bit-exactness contract).
+            z_hat = z_vals.reshape((n,) + z_unit).astype(jnp.float32) + z_off
+            sigma = model.apply(
+                p, z_hat, method=BMSHJ2018Model.sigma_from_zhat
+            )
+            rows = self.em._em.device_indexes(
+                self.em.inverse_scale_fn(sigma)
+            )
+            y_vals = main_dec(y_data, y_len, rows.reshape(n, -1))
+            y_hat = y_vals.reshape((n,) + tuple(sigshape)).astype(jnp.float32)
+            x = model.apply(p, y_hat, method=BMSHJ2018Model.synthesize)
+            return jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+
+        return jax.jit(decode_prog)
+
+    @staticmethod
+    def _cap_bucket(nbytes: int) -> int:
+        """Rounds a stream length up to a power-of-two capacity bucket so
+        varying stream lengths reuse a handful of compiled programs."""
+        cap = 1024
+        while cap < nbytes:
+            cap *= 2
+        return cap
+
+    def decompress_batch_jit(self, blobs: list) -> np.ndarray:
+        """Same-size .tfci blobs through the single-program decoder."""
+        y_strings, z_strings = [], []
+        xshape = zshape = None
+        for blob in blobs:
+            packed = PackedTensors(blob)
+            ys, zs, xs, zsh = packed.unpack(
+                [object, object, np.int32, np.int32]
+            )
+            y_strings.append(bytes(ys[0]))
+            z_strings.append(bytes(zs[0]))
+            xshape, zshape = xs, zsh
+        n = len(blobs)
+        zshape = tuple(int(v) for v in zshape)
+        sigshape = (zshape[0] * 4, zshape[1] * 4, self.cfg.num_latents)
+        capz = self._cap_bucket(max(len(s) for s in z_strings))
+        capy = self._cap_bucket(max(len(s) for s in y_strings))
+        key = (n, zshape, capz, capy)
+        fn = self._jit_decoders.get(key)
+        if fn is None:
+            fn = self._jit_decoders[key] = self._build_jit_decoder(
+                n, zshape, sigshape, capz, capy
+            )
+
+        def to_buf(strings, cap):
+            data = np.zeros((n, cap), np.uint8)
+            lengths = np.zeros((n,), np.int32)
+            for i, s in enumerate(strings):
+                data[i, : len(s)] = np.frombuffer(s, np.uint8)
+                lengths[i] = len(s)
+            return data, lengths
+
+        z_data, z_len = to_buf(z_strings, capz)
+        y_data, y_len = to_buf(y_strings, capy)
+        x_hat = np.asarray(
+            jax.device_get(fn(self._p, z_data, z_len, y_data, y_len))
+        )
+        return x_hat[:, : int(xshape[0]), : int(xshape[1]), :]
 
 
 def make_codec(model: BMSHJ2018Model, params) -> Codec:

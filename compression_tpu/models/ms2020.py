@@ -363,6 +363,13 @@ class Codec:
             i, self._p, ms, ss, dec
         )
         self._slice_lrp = lambda i, ms, dec: _slice_lrp(i, self._p, ms, dec)
+        # Raw param-taking jits, exposed for the multi-device decoder
+        # (parallel/charm_sharded.py): it calls the SAME compiled-function
+        # objects with mesh-replicated params + batch-sharded activations,
+        # so the sharded slice chain runs the identical math as this codec.
+        self._jit_encode = _encode
+        self._jit_supports = _supports
+        self._jit_slice_params = _slice_params
         # Tiny shared jits for the coder boundary: identical compiled code
         # on the encode and decode side, so symbol/row/reconstruction math
         # can never diverge between them (see bmshj2018.Codec notes).
@@ -392,6 +399,8 @@ class Codec:
             ).astype(jnp.uint8)
         )
         self._synthesize = lambda y: _synthesize(self._p, y)
+        self._jit_finish_slice = _finish_slice
+        self._jit_synthesize = _synthesize
         # z coder boundary on device: symbols and z_hat formed with the same
         # f32 math the decoder's host path uses (integer symbols + f32
         # offset; IEEE addition is identical on host and device), so the

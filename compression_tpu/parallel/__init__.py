@@ -6,5 +6,6 @@ from compression_tpu.parallel.data_parallel import (
     make_mesh,
     shard_batch,
 )
+from compression_tpu.parallel.charm_sharded import ShardedCharmCodec
 
-__all__ = ["make_dp_step", "make_mesh", "shard_batch"]
+__all__ = ["make_dp_step", "make_mesh", "shard_batch", "ShardedCharmCodec"]
