@@ -1,0 +1,250 @@
+"""Device entropy coder: K-lane interleaved rANS in pure XLA.
+
+Implements the bitstream format specified (and NumPy-executed) by
+:mod:`compression_tpu.codec.rans_ref` — see that module's docstring for the
+format and for WHY this exists (the host range coder forces a symbols+rows
+device->host transfer ~50x larger than the compressed bytes; rANS runs the
+coder *on the TPU* as `lax.scan` over u32 lane states with table gathers,
+so only compressed words cross the link).
+
+Shapes: everything is batched. ``encode(values, rows) ->
+(stream u16[B, cap], lengths i32[B], overflow bool[B])`` and
+``decode(stream, rows) -> (values i32[B, N], ok bool[B])`` where N is the
+per-image element count and lanes K divide the work as lane = j mod K.
+
+TPU notes (pallas_guide.md): the scan body is pure VPU work — u32
+arithmetic, compares, and 4 gathers of width B*K per pop; there is no MXU
+work and no dynamic shape anywhere. A Pallas kernel could fuse the gathers
+into VMEM-resident tables, but the lax.scan form is already link-bound
+end-to-end, so per the guide's own advice the kernel is left as a measured
+future optimization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compression_tpu.codec.rans_ref import build_slot_table
+
+__all__ = ["RansTables", "make_rans_encoder", "make_rans_decoder"]
+
+_L = np.uint32(1 << 16)
+_M16 = np.uint32(0xFFFF)
+
+
+class RansTables:
+    """Device-resident table bundle derived from a CdfTables."""
+
+    def __init__(self, tables):
+        self.precision = int(tables.precision)
+        self.cdf = jnp.asarray(tables.cdf, jnp.int32)          # [R, maxlen]
+        self.cdf_offset = jnp.asarray(tables.cdf_offset, jnp.int32)
+        self.escape = jnp.asarray(tables.cdf_length - 2, jnp.int32)  # [R]
+        self.slot2sym = jnp.asarray(
+            build_slot_table(
+                np.asarray(tables.cdf),
+                np.asarray(tables.cdf_length),
+                self.precision,
+            ),
+            jnp.int32,
+        )
+        self.num_rows = int(tables.cdf.shape[0])
+        self.maxlen = int(tables.cdf.shape[1])
+
+    def _gather_cdf(self, r, m):
+        return jnp.take(
+            self.cdf.reshape(-1), r * self.maxlen + m, mode="clip"
+        )
+
+    def freq_cum(self, r, m):
+        """(f, c) as uint32 for symbol m of row r (vectorized)."""
+        c = self._gather_cdf(r, m)
+        f = self._gather_cdf(r, m + 1) - c
+        return f.astype(jnp.uint32), c.astype(jnp.uint32)
+
+    def symbol_at_slot(self, r, slot):
+        return jnp.take(
+            self.slot2sym.reshape(-1),
+            r * (1 << self.precision) + slot.astype(jnp.int32),
+            mode="clip",
+        )
+
+
+def _element_fields(t: RansTables, values, rows):
+    """Per-element (m, escaped, e) — the symbol mapping of the spec."""
+    off = jnp.take(t.cdf_offset, rows, mode="clip")
+    E = jnp.take(t.escape, rows, mode="clip")
+    s = values - off
+    escaped = ~((s >= 0) & (s < E))
+    m = jnp.where(escaped, E, s)
+    e = jnp.where(
+        s >= E,
+        (s - E).astype(jnp.uint32) * 2,
+        (-s).astype(jnp.uint32) * 2 - 1,
+    )
+    return m, escaped, e
+
+
+def _pad_TK(x, T, K, fill):
+    B, N = x.shape
+    pad = T * K - N
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((B, pad), fill, x.dtype)], axis=1
+        )
+    return x.reshape(B, T, K)
+
+
+def make_rans_encoder(tables, K: int, cap_words: int):
+    """Builds ``encode(values i32[B,N], rows i32[B,N])`` (jit-friendly)."""
+    t = RansTables(tables)
+    P = t.precision
+
+    def encode(values, rows):
+        B, N = values.shape
+        T = -(-N // K)
+        m, escaped, e = _element_fields(t, values, rows)
+        valid = jnp.ones((B, N), bool)
+        f, c = t.freq_cum(rows, m)
+        # [B, T, K] -> scan over reversed t with [T, B, K] slices.
+        def prep(x, fill):
+            return jnp.moveaxis(_pad_TK(x, T, K, fill), 1, 0)[::-1]
+
+        xs = (
+            prep(f, 1),
+            prep(c, 0),
+            prep(escaped, False),
+            prep((e & _M16).astype(jnp.uint32), 0),
+            prep((e >> 16).astype(jnp.uint32), 0),
+            prep(valid, False),
+        )
+        x0 = jnp.full((B, K), _L, jnp.uint32)
+
+        def step(x, sl):
+            f, c, esc, e_lo, e_hi, valid = sl
+            esc = esc & valid
+            # push hi (bypass always emits)
+            v_hi = (x & _M16).astype(jnp.uint16)
+            x = jnp.where(esc, ((x >> 16) << 16) | e_hi, x)
+            # push lo
+            v_lo = (x & _M16).astype(jnp.uint16)
+            x = jnp.where(esc, ((x >> 16) << 16) | e_lo, x)
+            # push main (renorm-before-push, at most one word). The
+            # threshold test is x >= f << (32-P), computed as a shift of x
+            # so a degenerate full-mass row (f == 2^P) cannot wrap the
+            # left-shift to 0 — there the push is an exact identity and
+            # correctly emits nothing.
+            em = valid & ((x >> (32 - P)) >= f)
+            v_m = (x & _M16).astype(jnp.uint16)
+            x1 = jnp.where(em, x >> 16, x)
+            fs = jnp.where(valid, f, 1)
+            x2 = ((x1 // fs) << P) + (x1 % fs) + c
+            x = jnp.where(valid, x2, x)
+            vals = jnp.stack([v_hi, v_lo, v_m], axis=1)      # [B, 3, K]
+            masks = jnp.stack([esc, esc, em], axis=1)
+            return x, (vals, masks)
+
+        x, (vals, masks) = jax.lax.scan(step, x0, xs)
+        # Executed emission order: scan step ascending (element step
+        # descending), slot (hi, lo, main), lane DESCENDING. Flatten that
+        # order, append the state flush (lanes K-1..0: lo then hi), then
+        # reverse into decode order by scattering to (total-1-i).
+        vals = jnp.moveaxis(vals, 1, 0)[..., ::-1].reshape(B, -1)  # [B,T*3*K]
+        masks = jnp.moveaxis(masks, 1, 0)[..., ::-1].reshape(B, -1)
+        xr = x[:, ::-1]
+        flush = jnp.stack(
+            [(xr & _M16), (xr >> 16)], axis=-1
+        ).reshape(B, 2 * K).astype(jnp.uint16)
+        vals = jnp.concatenate([vals, flush], axis=1)
+        masks = jnp.concatenate(
+            [masks, jnp.ones((B, 2 * K), bool)], axis=1
+        )
+        idx = jnp.cumsum(masks, axis=1) - 1
+        total = idx[:, -1] + 1                                # [B]
+        pos = total[:, None] - 1 - idx
+        pos = jnp.where(masks & (pos < cap_words), pos, cap_words)
+        buf = jnp.zeros((B, cap_words + 1), jnp.uint16)
+        buf = jax.vmap(lambda b, p, v: b.at[p].set(v))(buf, pos, vals)
+        overflow = total > cap_words
+        return buf[:, :cap_words], total.astype(jnp.int32), overflow
+
+    return encode
+
+
+def make_rans_decoder(tables, K: int, N: int):
+    """Builds ``decode(stream u16[B,cap], rows i32[B,N])`` (jit-friendly)."""
+    t = RansTables(tables)
+    P = t.precision
+    Pmask = np.uint32((1 << P) - 1)
+
+    def decode(stream, rows):
+        B = stream.shape[0]
+        cap = stream.shape[1]
+        T = -(-N // K)
+        E = jnp.take(t.escape, rows, mode="clip")
+        off = jnp.take(t.cdf_offset, rows, mode="clip")
+        valid = jnp.ones((B, N), bool)
+
+        def prep(x, fill):
+            return jnp.moveaxis(_pad_TK(x, T, K, fill), 1, 0)
+
+        xs = (prep(rows, 0), prep(E, 0), prep(valid, False))
+        # Init: lane k's state = (word[2k] << 16) | word[2k+1].
+        head = stream[:, : 2 * K].astype(jnp.uint32).reshape(B, K, 2)
+        x0 = (head[..., 0] << 16) | head[..., 1]
+        p0 = jnp.full((B,), 2 * K, jnp.int32)
+
+        def read(x, p, need, renew):
+            """Masked word read in ascending-lane order; returns new x."""
+            offs = jnp.cumsum(need.astype(jnp.int32), axis=1) - need
+            idx = jnp.clip(p[:, None] + offs, 0, cap - 1)
+            words = jnp.take_along_axis(stream, idx, axis=1).astype(
+                jnp.uint32
+            )
+            x = jnp.where(need, (renew << 16) | words, x)
+            return x, p + jnp.sum(need, axis=1, dtype=jnp.int32)
+
+        def step(carry, sl):
+            x, p = carry
+            r, E, valid = sl
+            # main pop
+            slot = (x & Pmask).astype(jnp.uint32)
+            m = t.symbol_at_slot(r, slot)
+            f, c = t.freq_cum(r, m)
+            x1 = f * (x >> P) + slot - c
+            need = valid & (x1 < _L)
+            xw, p = read(
+                jnp.where(valid, x1, x), p, need, x1
+            )
+            x = jnp.where(need, xw, jnp.where(valid, x1, x))
+            esc = valid & (m == E)
+            # lo pop (always reads when active)
+            b_lo = (x & _M16)
+            x2 = x >> 16
+            xw, p = read(x, p, esc, x2)
+            x = jnp.where(esc, xw, x)
+            # hi pop
+            b_hi = (x & _M16)
+            x3 = x >> 16
+            xw, p = read(x, p, esc, x3)
+            x = jnp.where(esc, xw, x)
+            e = (b_hi << 16) | b_lo
+            s_esc = jnp.where(
+                e % 2 == 0,
+                E + (e >> 1).astype(jnp.int32),
+                -((e >> 1).astype(jnp.int32) + 1),
+            )
+            s = jnp.where(esc, s_esc, m)
+            return (x, p), s
+
+        (x, _p), sym = jax.lax.scan(step, (x0, p0), xs)
+        ok = jnp.all(x == _L, axis=1)
+        sym = jnp.moveaxis(sym, 0, 1).reshape(B, T * K)[:, :N]
+        return sym + off, ok
+
+    return decode
