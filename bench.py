@@ -124,13 +124,22 @@ def main():
     assert out.shape == images.shape
 
     rounds = 3 if tiny else 6
+    # Coder selection for the measured encode: "host" = native C++ range
+    # coder fed by a symbols+rows fetch; "device" = on-TPU rANS
+    # (codec/rans.py) shipping only compressed words. Decode auto-detects.
+    coder = os.environ.get("TPC_BENCH_CODER", "host")
+    # Warm the selected encode path too (the warmup above used host).
+    if coder != "host":
+        list(codec.compress_iter(iter([images]), depth=1, coder=coder))
     # Fresh timer for the measured region only.
     from compression_tpu.util.profiling import StageTimer
 
     codec.timer = StageTimer()
     t0 = time.perf_counter()
     blob_stream = list(
-        codec.compress_iter((images for _ in range(rounds)), depth=2)
+        codec.compress_iter(
+            (images for _ in range(rounds)), depth=2, coder=coder
+        )
     )
     t_enc = time.perf_counter()
     outs = list(codec.decompress_iter(iter(blob_stream), depth=2))

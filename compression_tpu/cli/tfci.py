@@ -105,7 +105,17 @@ def cmd_compress(args) -> int:
         name = f"{base}-{int(args.rd_parameter)}"
     entry, model, params = _load_model(name, args.allow_random)
     image = image_util.read_png(args.input)
-    data = entry.compress(model, params, image)
+    if getattr(args, "device_coder", False):
+        # On-TPU rANS entropy coding (codec/rans.py): the y stream is
+        # coded on the device; decompress auto-detects the format.
+        if entry.family != "bmshj2018":
+            raise SystemExit(
+                f"--device-coder is implemented for the bmshj2018 family; "
+                f"{name!r} is {entry.family}"
+            )
+        data = entry.compress(model, params, image, coder="device")
+    else:
+        data = entry.compress(model, params, image)
     out = args.output or args.input + ".tfci"
     with open(out, "wb") as f:
         f.write(data)
@@ -351,6 +361,13 @@ def main(argv=None) -> int:
         "--rd_parameter", type=int, default=None,
         help="runtime rate point for variable-rate models (b2018-*); "
         "equivalent to the -N quality suffix (reference tfci.py flag)",
+    )
+    sp.add_argument(
+        "--device-coder", action="store_true",
+        help="entropy-code the main latent ON the accelerator (K-lane "
+        "rANS) instead of the host range coder — only compressed words "
+        "cross the device link (bmshj2018 family only; decompress "
+        "auto-detects the format)",
     )
     sp.set_defaults(fn=cmd_compress)
 

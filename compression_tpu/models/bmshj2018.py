@@ -248,6 +248,27 @@ class _DecodeWork:
             setattr(self, k, v)
 
 
+class _RansEncodeWork:
+    """In-flight device-coded encode: rANS stream futures + host fallback
+    handles (y8/y16/y32/rows stay unfetched unless overflow forces the
+    host coder path)."""
+
+    __slots__ = ("stream", "lengths", "overflow", "z16", "fits", "y8",
+                 "y16", "y32", "z32", "rows", "hw", "n", "K")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class _RansDecodeWork:
+    __slots__ = ("image", "ok", "xshape")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
 class Codec:
     """Jitted transforms + prebuilt CDF tables for a trained model.
 
@@ -280,6 +301,7 @@ class Codec:
         self.timer = StageTimer()
         self._model = model
         self._jit_decoders: dict = {}
+        self._rans_coders_cache: dict = {}
         hyperprior = model.apply(params, method=BMSHJ2018Model.get_hyperprior)
         side_proto = ContinuousBatchedEntropyModel(hyperprior, coding_rank=3)
         main_proto = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
@@ -474,46 +496,223 @@ class Codec:
             x_hat = np.asarray(jax.device_get(x_hat_dev))
         return x_hat[:, : int(w.xshape[0]), : int(w.xshape[1]), :]
 
+    # -- device-coded path (on-TPU rANS; codec/rans.py) ----------------------
+    #
+    # The host coder above must fetch symbols + CDF rows (the dominant
+    # stage of BENCH_r02 on a slow link). Here the y stream is entropy-
+    # coded ON the device: only the compressed words (~50x smaller) cross
+    # the link. z stays host-coded (it is tiny and is needed host-side
+    # first at decode anyway). Blob format: 5 fields
+    # [y_rans_words, z_string, xshape, zshape, [K]] — decompress_batch
+    # auto-detects by field count, so the two formats coexist under the
+    # same model name. The y symbols and CDF rows are computed by the SAME
+    # shared jits as the host path, so the two coders always agree at the
+    # value level (only the bitstream differs; see codec/rans_ref.py).
+
+    def _rans(self, N: int, K: int | None = None):
+        import os as _os
+
+        if K is None:
+            # Lane count trades vectorization width against the 4-byte-
+            # per-lane state flush: cap lanes so the overhead stays a few
+            # percent of even a well-compressed stream (~N/16 lanes keeps
+            # it under ~0.5 bit/element), up to the configured width.
+            K = int(_os.environ.get("TPC_RANS_K", "128"))
+            k_fit = 4
+            while k_fit * 2 <= max(4, N // 16) and k_fit * 2 <= K:
+                k_fit *= 2
+            K = k_fit
+        key = (N, K)
+        if key not in self._rans_coders_cache:
+            from compression_tpu.codec import rans
+
+            # Hard worst case: 3 emissions per element (escape) + flush.
+            cap = 3 * N + 2 * K + 64
+            enc = jax.jit(rans.make_rans_encoder(self.em.tables, K, cap))
+            dec = jax.jit(rans.make_rans_decoder(self.em.tables, K, N))
+            self._rans_coders_cache[key] = (enc, dec, K, cap)
+        return self._rans_coders_cache[key]
+
+    def _dispatch_encode_rans(self, images: np.ndarray) -> _RansEncodeWork:
+        x, hw = self._pad_np(np.asarray(images, np.uint8), self.cfg.downscale)
+        with self.timer.stage("enc/dispatch"):
+            y8, y16, z16, z_hat, fits, y32, z32 = self._front(
+                self._p, jnp.asarray(x)
+            )
+            sigma = self._sigma(z_hat)
+            rows = self.em.rows(sigma)
+            n = x.shape[0]
+            N = int(np.prod(sigma.shape[1:]))
+            enc, _dec, K, _cap = self._rans(N)
+            stream, lengths, overflow = enc(
+                y32.reshape(n, -1),
+                rows.astype(jnp.int32).reshape(n, -1),
+            )
+        return _RansEncodeWork(
+            stream=stream, lengths=lengths, overflow=overflow, z16=z16,
+            fits=fits, y8=y8, y16=y16, y32=y32, z32=z32, rows=rows, hw=hw,
+            n=n, K=K,
+        )
+
+    def _finish_encode_rans(self, w: _RansEncodeWork) -> list:
+        with self.timer.stage("enc/fetch"):
+            lengths, overflow, z16, fits = jax.device_get(
+                (w.lengths, w.overflow, w.z16, w.fits)
+            )
+            fit16 = bool(fits[1])
+            z_sym = (
+                np.asarray(z16, np.int32)
+                if fit16
+                else np.asarray(jax.device_get(w.z32))
+            )
+        if bool(np.any(np.asarray(overflow))):
+            # Pathological symbol statistics (e.g. an untrained model
+            # escaping everywhere at extreme magnitudes): fall back to the
+            # host coder using the still-unfetched symbol futures.
+            ew = _EncodeWork(
+                y8=w.y8, y16=w.y16, z16=w.z16, rows=w.rows, fits=w.fits,
+                y32=w.y32, z32=w.z32, hw=w.hw, zshape=None, n=w.n,
+            )
+            return self._finish_encode(ew)
+        zshape = z_sym.shape[1:3]
+        with self.timer.stage("enc/code_z"):
+            z_strings = self.side_em.compress_symbols(z_sym)
+        with self.timer.stage("enc/fetch_stream"):
+            streams = [
+                np.asarray(
+                    jax.device_get(w.stream[b, : int(lengths[b])])
+                ).tobytes()
+                for b in range(w.n)
+            ]
+        with self.timer.stage("enc/pack"):
+            h, wd = w.hw
+            blobs = []
+            for b in range(w.n):
+                packed = PackedTensors()
+                packed.model = self.cfg.model_name
+                packed.pack(
+                    [
+                        streams[b],
+                        z_strings[b],
+                        np.array([h, wd], np.int32),
+                        np.array(zshape, np.int32),
+                        np.array([w.K], np.int32),
+                    ]
+                )
+                blobs.append(packed.string)
+        return blobs
+
+    def _dispatch_decode_rans(self, blobs: list) -> _RansDecodeWork:
+        y_words, z_strings = [], []
+        xshape = zshape = None
+        K = None
+        with self.timer.stage("dec/parse"):
+            for blob in blobs:
+                packed = PackedTensors(blob)
+                ys, zs, xs, zsh, kk = packed.unpack(
+                    [object, object, np.int32, np.int32, np.int32]
+                )
+                y_words.append(np.frombuffer(bytes(ys[0]), np.uint16))
+                z_strings.append(bytes(zs[0]))
+                xshape, zshape, K = xs, zsh, int(kk[0])
+        with self.timer.stage("dec/code_z"):
+            z_hat = self.side_em.decompress(
+                z_strings, tuple(int(v) for v in zshape)
+            )
+        with self.timer.stage("dec/dispatch"):
+            sigma = self._sigma(z_hat)
+            rows = self.em.rows(sigma)
+            n = len(blobs)
+            N = int(np.prod(sigma.shape[1:]))
+            _enc, dec, _K, _cap = self._rans(N, K)
+            cap = 1024
+            longest = max(len(wds) for wds in y_words)
+            while cap < longest:
+                cap *= 2
+            stream = np.zeros((n, cap), np.uint16)
+            for b, wds in enumerate(y_words):
+                stream[b, : len(wds)] = wds
+            values, ok = dec(
+                jnp.asarray(stream),
+                rows.astype(jnp.int32).reshape(n, -1),
+            )
+            y_hat = values.reshape(sigma.shape)
+            image = self._synthesize(y_hat)
+        return _RansDecodeWork(image=image, ok=ok, xshape=xshape)
+
+    def _finish_decode_rans(self, w: _RansDecodeWork) -> np.ndarray:
+        with self.timer.stage("dec/fetch_image"):
+            image, ok = jax.device_get((w.image, w.ok))
+        if not bool(np.all(np.asarray(ok))):
+            raise ValueError("corrupt device-coded bitstream (rANS state)")
+        return np.asarray(image)[
+            :, : int(w.xshape[0]), : int(w.xshape[1]), :
+        ]
+
+    @staticmethod
+    def _is_device_coded(blob: bytes) -> bool:
+        packed = PackedTensors(blob)
+        return len([k for k, *_ in packed.describe() if k != "MD"]) == 5
+
     # -- streaming product paths (double-buffered device/host overlap) ------
 
-    def compress_iter(self, batches, depth: int = 2):
+    def _enc_stages(self, coder: str):
+        if coder == "device":
+            return self._dispatch_encode_rans, self._finish_encode_rans
+        if coder != "host":
+            raise ValueError(f"unknown coder {coder!r} (host|device)")
+        return self._dispatch_encode, self._finish_encode
+
+    def compress_iter(self, batches, depth: int = 2, coder: str = "host"):
         """Pipelined encode over an iterable of uint8 (N,H,W,3) stacks:
         yields a list of .tfci blobs per input batch, in order. With
         depth=2 the TPU transforms batch i+1 while host threads
-        range-code batch i."""
+        range-code batch i. ``coder="device"`` entropy-codes y on the TPU
+        (rANS) so only compressed words cross the link."""
         from compression_tpu.parallel.pipeline import Pipeline
 
-        yield from Pipeline(
-            self._dispatch_encode, self._finish_encode, depth
-        ).run(batches)
+        dispatch, finish = self._enc_stages(coder)
+        yield from Pipeline(dispatch, finish, depth).run(batches)
 
     def decompress_iter(self, blob_batches, depth: int = 2):
         """Pipelined decode over an iterable of .tfci blob lists (each list
-        decoded as one device batch); yields uint8 (N,H,W,3) stacks."""
+        decoded as one device batch); yields uint8 (N,H,W,3) stacks. The
+        coder is auto-detected per batch from the blob format."""
         from compression_tpu.parallel.pipeline import Pipeline
 
         yield from Pipeline(
-            self._dispatch_decode, self._finish_decode, depth
+            self._dispatch_decode_any, self._finish_decode_any, depth
         ).run(blob_batches)
+
+    def _dispatch_decode_any(self, blobs: list):
+        if self._is_device_coded(blobs[0]):
+            return self._dispatch_decode_rans(blobs)
+        return self._dispatch_decode(blobs)
+
+    def _finish_decode_any(self, w) -> np.ndarray:
+        if isinstance(w, _RansDecodeWork):
+            return self._finish_decode_rans(w)
+        return self._finish_decode(w)
 
     # -- one-shot convenience wrappers ---------------------------------------
 
-    def compress(self, image: np.ndarray) -> bytes:
-        return self._finish_encode(
-            self._dispatch_encode(np.asarray(image, np.uint8)[None])
-        )[0]
+    def compress(self, image: np.ndarray, coder: str = "host") -> bytes:
+        return self.compress_batch(np.asarray(image, np.uint8)[None], coder)[0]
 
-    def compress_batch(self, images: np.ndarray) -> list:
+    def compress_batch(self, images: np.ndarray, coder: str = "host") -> list:
         """Compresses a uint8 (N, H, W, 3) stack; one .tfci blob each.
 
         Batching amortizes dispatch latency and keeps the MXU busy; the
-        entropy coder fans the N streams across native threads.
+        entropy coder fans the N streams across native threads ("host")
+        or runs as on-TPU rANS lanes ("device").
         """
-        return self._finish_encode(self._dispatch_encode(images))
+        dispatch, finish = self._enc_stages(coder)
+        return finish(dispatch(images))
 
     def decompress_batch(self, blobs: list) -> np.ndarray:
-        """Decompresses same-size .tfci blobs as one batch."""
-        return self._finish_decode(self._dispatch_decode(blobs))
+        """Decompresses same-size .tfci blobs as one batch (either coder's
+        format, auto-detected)."""
+        return self._finish_decode_any(self._dispatch_decode_any(blobs))
 
     def decompress(self, data: bytes) -> np.ndarray:
         return self.decompress_batch([data])[0]
@@ -577,6 +776,10 @@ class Codec:
 
     def decompress_batch_jit(self, blobs: list) -> np.ndarray:
         """Same-size .tfci blobs through the single-program decoder."""
+        if self._is_device_coded(blobs[0]):
+            # Device-coded blobs are already decoded by one compiled
+            # program (the rANS path); route there.
+            return self._finish_decode_rans(self._dispatch_decode_rans(blobs))
         y_strings, z_strings = [], []
         xshape = zshape = None
         for blob in blobs:
@@ -621,8 +824,10 @@ def make_codec(model: BMSHJ2018Model, params) -> Codec:
     return cached(params, lambda: Codec(model, params))
 
 
-def compress(model: BMSHJ2018Model, params, image: np.ndarray) -> bytes:
-    return make_codec(model, params).compress(image)
+def compress(
+    model: BMSHJ2018Model, params, image: np.ndarray, coder: str = "host"
+) -> bytes:
+    return make_codec(model, params).compress(image, coder)
 
 
 def decompress(model: BMSHJ2018Model, params, data: bytes) -> np.ndarray:

@@ -1,0 +1,95 @@
+"""bmshj2018 device-coded (on-TPU rANS) product path: reconstruction must
+equal the host-coded path exactly (same symbols, same synthesis), blobs
+self-describe their format, and the streaming/pipelined paths route both
+formats."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from compression_tpu.models import bmshj2018
+from compression_tpu.util import PackedTensors
+
+
+def _tiny_codec():
+    cfg = bmshj2018.Config(num_filters=8, num_latents=8, num_hyperlatents=4)
+    model = bmshj2018.BMSHJ2018Model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jax.random.PRNGKey(1),
+        training=True,
+    )
+    return bmshj2018.make_codec(model, params)
+
+
+def test_device_coded_roundtrip_matches_host():
+    codec = _tiny_codec()
+    rng = np.random.RandomState(21)
+    images = (rng.rand(3, 96, 128, 3) * 255).astype(np.uint8)
+    host_blobs = codec.compress_batch(images)
+    dev_blobs = codec.compress_batch(images, coder="device")
+    # Formats self-describe: 4 fields host, 5 fields device.
+    assert not codec._is_device_coded(host_blobs[0])
+    assert codec._is_device_coded(dev_blobs[0])
+    assert PackedTensors(dev_blobs[0]).model == codec.cfg.model_name
+    # Same symbols -> identical reconstructions from either format.
+    ref = codec.decompress_batch(host_blobs)
+    out = codec.decompress_batch(dev_blobs)
+    np.testing.assert_array_equal(out, ref)
+    # Determinism.
+    assert dev_blobs == codec.compress_batch(images, coder="device")
+    # Single-blob path auto-detects too.
+    np.testing.assert_array_equal(codec.decompress(dev_blobs[1]), ref[1])
+
+
+def test_device_coded_iter_paths():
+    codec = _tiny_codec()
+    rng = np.random.RandomState(22)
+    images = (rng.rand(4, 64, 64, 3) * 255).astype(np.uint8)
+    batches = [images[:2], images[2:]]
+    dev = [
+        blobs
+        for blobs in codec.compress_iter(
+            iter(batches), depth=2, coder="device"
+        )
+    ]
+    assert all(codec._is_device_coded(b) for blobs in dev for b in blobs)
+    outs = list(codec.decompress_iter(iter(dev), depth=2))
+    ref = codec.decompress_batch(codec.compress_batch(images))
+    np.testing.assert_array_equal(np.concatenate(outs), ref)
+
+
+def test_device_coded_stream_is_compact():
+    """The device blob's y stream must be comparable to the host coder's
+    y string (same tables; rANS pays only lane-state overhead), not the
+    raw symbol volume."""
+    codec = _tiny_codec()
+    image = (np.random.RandomState(5).rand(128, 128, 3) * 255).astype(
+        np.uint8
+    )
+    host = PackedTensors(codec.compress(image))
+    dev = PackedTensors(codec.compress(image, coder="device"))
+    host_y = len(host.unpack_one(0, object)[0])
+    dev_y = len(dev.unpack_one(0, object)[0])
+    K = int(dev.unpack_one(4, np.int32)[0])
+    assert dev_y <= host_y * 1.1 + 4 * K + 16
+
+
+def test_corrupt_device_stream_raises():
+    codec = _tiny_codec()
+    image = (np.random.RandomState(6).rand(64, 64, 3) * 255).astype(np.uint8)
+    blob = codec.compress(image, coder="device")
+    packed = PackedTensors(blob)
+    fields = packed.unpack([object, object, np.int32, np.int32, np.int32])
+    words = bytearray(bytes(fields[0][0]))
+    words[len(words) // 2] ^= 0xFF
+    bad = PackedTensors()
+    bad.model = packed.model
+    bad.pack([bytes(words)] + [
+        bytes(fields[1][0]), np.asarray(fields[2]), np.asarray(fields[3]),
+        np.asarray(fields[4]),
+    ])
+    with pytest.raises(ValueError, match="rANS"):
+        codec.decompress(bad.string)
