@@ -242,6 +242,12 @@ REGISTRY: Dict[str, Callable[..., ModelEntry]] = {
 # (everything else resolves a quality suffix to its own per-lambda ckpt).
 VARIABLE_RATE = {"b2018-gdn-128", "b2018-leaky_relu-128", "b2018"}
 
+# Alias -> canonical checkpoint stem: `tfci train b2018` and
+# `tfci compress b2018-gdn-128-2` must hit the SAME checkpoint file (the
+# alias is the same model; without this they silently trained/served
+# separate weights).
+_CANONICAL_STEM = {"b2018": "b2018-gdn-128"}
+
 
 def model_dir() -> str:
     return os.environ.get(
@@ -271,7 +277,7 @@ def checkpoint_path(name: str) -> str:
     families share one checkpoint under their base name; everything else
     keeps a per-name (per-lambda) checkpoint."""
     base, _ = _split_name(name)
-    stem = base if base in VARIABLE_RATE else name
+    stem = _CANONICAL_STEM.get(base, base) if base in VARIABLE_RATE else name
     return os.path.join(model_dir(), f"{stem}.msgpack")
 
 

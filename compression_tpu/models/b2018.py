@@ -156,18 +156,49 @@ class B2018Model(nn.Module):
         )
 
     def __call__(self, x, rng, q=0, training: bool = True):
-        """Forward at rate point ``q`` (0-based traced index; the default
-        only matters for shape-driven init, where any rate point builds the
-        same param tree).
+        """Forward at rate point(s) ``q``.
+
+        ``q`` is either a scalar 0-based index (whole batch at one rate
+        point — the codec paths) or a vector of per-example indices
+        (training: every rate point's gains AND prior receive gradient in
+        every step; round 2 sampled ONE q per step, and after 9000 steps
+        the gains had not moved from init and the per-quality priors
+        stayed diffuse — ~1.8 bits/element on near-zero symbols — because
+        each row saw only 1/Q of the optimization).
 
         Returns (x_hat, bits_per_image)."""
-        y = self.analysis(x) * jnp.take(self.gain, q, axis=0)
-        prior_q = _slice_prior(self.prior(), q)
-        em = ContinuousBatchedEntropyModel(
-            prior_q, coding_rank=self.config.coding_rank
+        q = jnp.asarray(q)
+        coding_rank = self.config.coding_rank
+        if q.ndim == 0:
+            y = self.analysis(x) * jnp.take(self.gain, q, axis=0)
+            prior_q = _slice_prior(self.prior(), q)
+            em = ContinuousBatchedEntropyModel(prior_q, coding_rank=coding_rank)
+            y_tilde, bits = em(y, rng=rng, training=training)
+            x_hat = self.synthesis(
+                y_tilde * jnp.take(self.inv_gain, q, axis=0)
+            )
+            return x_hat, bits
+        # Per-example rate points: vmap the entropy model over (example,
+        # that example's prior slice) — each lane is exactly the scalar-q
+        # math, batched.
+        gains = jnp.take(self.gain, q, axis=0)[:, None, None, :]
+        y = self.analysis(x) * gains
+        prior_n = _slice_prior(self.prior(), q)  # leaves [n, C, ...]
+        rngs = (
+            jax.random.split(rng, x.shape[0])
+            if rng is not None
+            else jnp.zeros((x.shape[0], 2), jnp.uint32)
         )
-        y_tilde, bits = em(y, rng=rng, training=training)
-        x_hat = self.synthesis(y_tilde * jnp.take(self.inv_gain, q, axis=0))
+
+        def one(prior_i, y_i, rng_i):
+            em = ContinuousBatchedEntropyModel(
+                prior_i, coding_rank=coding_rank
+            )
+            return em(y_i, rng=rng_i, training=training)
+
+        y_tilde, bits = jax.vmap(one)(prior_n, y, rngs)
+        inv = jnp.take(self.inv_gain, q, axis=0)[:, None, None, :]
+        x_hat = self.synthesis(y_tilde * inv)
         return x_hat, bits
 
     # -- submodule entry points (compress/decompress paths) -----------------
@@ -194,17 +225,25 @@ def make_loss_fn(model: B2018Model):
 
     def loss_fn(params, batch, rng):
         rng_q, rng_em = jax.random.split(rng)
-        # One rate point per step, sampled uniformly: every quality's gains
-        # and prior receive gradient over time while each step stays a
-        # single dense batch (data-dependent per-example qualities would
-        # shatter the XLA program).
-        q = jax.random.randint(rng_q, (), 0, cfg.num_qualities)
-        x_hat, bits = model.apply(params, batch, rng_em, q, training=True)
+        n = batch.shape[0]
+        # Per-EXAMPLE rate points, round-robin with a random per-step
+        # rotation: every quality's gains and prior receive gradient in
+        # every step (a uniformly-sampled single q per step left the gains
+        # at init and the priors diffuse after 9000 steps — round-3 root
+        # cause of b2018's 12 dB floor), the rotation keeps all rows
+        # covered even when batch_size < num_qualities, and the
+        # assignment is a static-shape gather so nothing shatters the XLA
+        # program.
+        offset = jax.random.randint(rng_q, (), 0, cfg.num_qualities)
+        q_vec = (jnp.arange(n) + offset) % cfg.num_qualities
+        x_hat, bits = model.apply(params, batch, rng_em, q_vec, training=True)
         num_pixels = batch.shape[1] * batch.shape[2]
         bpp = jnp.mean(bits) / num_pixels
-        mse = jnp.mean(jnp.square(batch - x_hat)) * (255.0**2)
-        loss = bpp + jnp.take(lambdas, q) * mse
-        return loss, {"bpp": bpp, "mse": mse, "q": q.astype(jnp.float32)}
+        mse_e = jnp.mean(
+            jnp.square(batch - x_hat), axis=(1, 2, 3)
+        ) * (255.0**2)
+        loss = bpp + jnp.mean(jnp.take(lambdas, q_vec) * mse_e)
+        return loss, {"bpp": bpp, "mse": jnp.mean(mse_e)}
 
     return loss_fn
 
@@ -215,6 +254,23 @@ def train(cfg: Config, train_cfg: common.TrainConfig, params=None):
     def init_fn(rng, batch):
         return model.init(
             rng, batch, jax.random.PRNGKey(0), 0, training=True
+        )
+
+    if train_cfg.lr_scales is None:
+        # The per-quality priors start init_scale=10 wide and must narrow
+        # to the gained-latent scale (~0.2-2), and the gains must find a
+        # ~10x spread; adam moves each ~lr per step, so on the transform
+        # clock they need ~100k steps. Give the rate-point parameters a
+        # 10x faster clock instead (root-cause analysis, round 3: after
+        # 9000 steps the priors still spent ~1.8 bits on near-zero
+        # symbols and the gains sat at init).
+        train_cfg = dataclasses.replace(
+            train_cfg,
+            lr_scales=(
+                ("params/prior", 10.0),
+                ("params/gain", 10.0),
+                ("params/inv_gain", 10.0),
+            ),
         )
 
     return model, common.train_model(

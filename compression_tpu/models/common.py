@@ -83,6 +83,12 @@ class TrainConfig:
     checkpoint_name: str = "checkpoint.msgpack"  # per-model to avoid clashes
     seed: int = 0
     num_devices: int = 1               # data-parallel width (mesh axis)
+    # Optional per-parameter-group lr multipliers: ((path_prefix, scale),
+    # ...) matched against "params/..."-style key paths. Used by models
+    # whose auxiliary parameters need a faster clock than the transforms
+    # (b2018's per-quality priors/gains must travel ~10x further than conv
+    # kernels within the same step budget).
+    lr_scales: Optional[tuple] = None
 
 
 def _load_images(pattern: str, max_images: int = 2000):
@@ -157,6 +163,32 @@ def load_checkpoint(path: str, params_template, opt_state_template=None):
     return state["params"], state["step"]
 
 
+def _scale_by_path(scales):
+    """Optax transform multiplying updates whose key path starts with a
+    configured prefix (paths rendered like ``params/gain``)."""
+
+    def path_key(path) -> str:
+        parts = []
+        for p in path:
+            parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+        return "/".join(parts)
+
+    def update(updates, state, params=None):
+        del params
+
+        def scale(path, u):
+            key = path_key(path)
+            s = 1.0
+            for prefix, sc in scales:
+                if key.startswith(prefix):
+                    s = sc
+            return u * s
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(lambda params: (), update)
+
+
 def train_model(
     init_fn: Callable,
     loss_fn: Callable,
@@ -201,6 +233,8 @@ def train_model(
             f"unknown lr_schedule {cfg.lr_schedule!r} (constant|step|cosine)"
         )
     tx = optax.adam(lr)
+    if cfg.lr_scales:
+        tx = optax.chain(tx, _scale_by_path(cfg.lr_scales))
     opt_state = tx.init(params)
     start_step = 0
     if cfg.checkpoint_dir:
