@@ -25,6 +25,8 @@ MODULES = [
     "compression_tpu.distributions.helpers",
     "compression_tpu.codec.host",
     "compression_tpu.codec.jax_ops",
+    "compression_tpu.codec.rans",
+    "compression_tpu.codec.rans_ref",
     "compression_tpu.layers.signal_conv",
     "compression_tpu.layers.gdn",
     "compression_tpu.layers.parameters",
@@ -39,6 +41,7 @@ MODULES = [
     "compression_tpu.parallel.pipeline",
     "compression_tpu.parallel.spatial",
     "compression_tpu.parallel.charm_pipeline",
+    "compression_tpu.parallel.charm_sharded",
     "compression_tpu.models.b2018",
     "compression_tpu.models.toy_sources",
     "compression_tpu.models.hific.model",
