@@ -308,6 +308,7 @@ class Codec:
 
     def __init__(self, model: MS2020Model, params):
         self.cfg = model.config
+        self._rans_cache: dict = {}
         from compression_tpu.models.codec_cache import tables_via_disk
 
         hyperprior = model.apply(params, method=MS2020Model.get_hyperprior)
@@ -477,23 +478,190 @@ class Codec:
             blobs.append(packed.string)
         return blobs
 
-    def compress(self, image: np.ndarray) -> bytes:
-        return self._finish_encode(
-            self._dispatch_encode(np.asarray(image, np.uint8)[None])
+    def compress(self, image: np.ndarray, coder: str = "host") -> bytes:
+        return self.compress_batch(
+            np.asarray(image, np.uint8)[None], coder
         )[0]
 
-    def compress_batch(self, images: np.ndarray) -> List[bytes]:
-        """Batched encode: N images through one dispatched slice chain."""
+    def compress_batch(
+        self, images: np.ndarray, coder: str = "host"
+    ) -> List[bytes]:
+        """Batched encode: N images through one dispatched slice chain.
+
+        ``coder="device"`` entropy-codes every slice ON the accelerator
+        (K-lane rANS, codec/rans.py): the only y-stream link traffic is
+        the compressed words, and the host never sees symbols or CDF
+        rows."""
+        if coder == "device":
+            return self._finish_encode_rans(self._dispatch_encode_rans(images))
+        if coder != "host":
+            raise ValueError(f"unknown coder {coder!r} (host|device)")
         return self._finish_encode(self._dispatch_encode(images))
 
-    def compress_iter(self, batches, depth: int = 2):
+    # -- device-coded path (on-TPU rANS; see bmshj2018.Codec notes) ---------
+    #
+    # CHARM's decode chain is serial over slices, and the HOST-coder
+    # version pays that serialization at the link: per slice, a CDF-row
+    # fetch, a host range-decode, and a values upload (10 device<->host
+    # round trips per batch, each a sync point). With the coder ON the
+    # device, every slice step is two async device dispatches — the whole
+    # 10-slice chain runs without a single host sync until the final
+    # image fetch. Blob format: num_slices+4 fields
+    # [slice0..sliceN words, z_string, xshape, zshape, [K]];
+    # decompress_batch auto-detects by field count.
+
+    def _rans(self, N: int, K: int | None = None):
+        import os as _os
+
+        if K is None:
+            K = int(_os.environ.get("TPC_RANS_K", "128"))
+            k_fit = 4
+            while k_fit * 2 <= max(4, N // 16) and k_fit * 2 <= K:
+                k_fit *= 2
+            K = k_fit
+        key = (N, K)
+        if key not in self._rans_cache:
+            from compression_tpu.codec import rans
+
+            cap = 3 * N + 2 * K + 64
+            enc = jax.jit(rans.make_rans_encoder(self.em.tables, K, cap))
+            dec = jax.jit(rans.make_rans_decoder(self.em.tables, K, N))
+            self._rans_cache[key] = (enc, dec, K, cap)
+        return self._rans_cache[key]
+
+    def _dispatch_encode_rans(self, images: np.ndarray):
+        cfg = self.cfg
+        from compression_tpu.models.bmshj2018 import Codec as _B
+
+        x, (h, w) = _B._pad_np(np.asarray(images, np.uint8), cfg.downscale)
+        y, z = self._encode(jnp.asarray(x))
+        z_sym = self._z_symbols(z)
+        z_hat = self._z_hat(z_sym)
+        mu_sup, sigma_sup = self._supports(z_hat)
+        n = x.shape[0]
+        decoded: List = []
+        streams: List = []
+        K_used = None
+        for i in range(cfg.num_slices):
+            y_i = self._take_slice(y, i)
+            mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
+            sym = self._center_round(y_i, mu)
+            N = int(np.prod(sym.shape[1:]))
+            enc, _dec, K_used, _cap = self._rans(N)
+            rows32 = self.em.rows(sigma).astype(jnp.int32)
+            streams.append(
+                enc(sym.reshape(n, -1), rows32.reshape(n, -1))
+            )
+            y_hat_i = self._apply_loc(sym, mu)
+            decoded.append(self._finish_slice(i, mu_sup, decoded, y_hat_i))
+        return streams, z_sym, (h, w), z_hat.shape[1:3], n, K_used
+
+    def _finish_encode_rans(self, work) -> List[bytes]:
+        streams, z_sym, hw, zshape, n, K = work
+        cfg = self.cfg
+        lengths = jax.device_get([s[1] for s in streams])
+        z_sym = np.asarray(jax.device_get(z_sym))
+        z_strings = self.side_em.compress_symbols(z_sym)
+        slice_bytes = [
+            [
+                np.asarray(
+                    jax.device_get(streams[i][0][b, : int(lengths[i][b])])
+                ).tobytes()
+                for b in range(n)
+            ]
+            for i in range(cfg.num_slices)
+        ]
+        h, w = hw
+        blobs = []
+        for b in range(n):
+            packed = PackedTensors()
+            packed.model = cfg.model_name
+            packed.pack(
+                [slice_bytes[i][b] for i in range(cfg.num_slices)]
+                + [
+                    z_strings[b],
+                    np.array([h, w], np.int32),
+                    np.array(zshape, np.int32),
+                    np.array([K], np.int32),
+                ]
+            )
+            blobs.append(packed.string)
+        return blobs
+
+    def _is_device_coded(self, blob: bytes) -> bool:
+        packed = PackedTensors(blob)
+        n_fields = len([k for k, *_ in packed.describe() if k != "MD"])
+        return n_fields == self.cfg.num_slices + 4
+
+    def _decompress_batch_rans(self, blobs: List[bytes]) -> np.ndarray:
+        cfg = self.cfg
+        n = len(blobs)
+        slice_words: List[List[np.ndarray]] = [
+            [] for _ in range(cfg.num_slices)
+        ]
+        z_strings: List[bytes] = []
+        xshape = zshape = None
+        K = None
+        for blob in blobs:
+            packed = PackedTensors(blob)
+            fields = packed.unpack(
+                [object] * cfg.num_slices
+                + [object, np.int32, np.int32, np.int32]
+            )
+            for i in range(cfg.num_slices):
+                slice_words[i].append(
+                    np.frombuffer(bytes(fields[i][0]), np.uint16)
+                )
+            z_strings.append(bytes(fields[cfg.num_slices][0]))
+            xshape = fields[cfg.num_slices + 1]
+            zshape = fields[cfg.num_slices + 2]
+            K = int(fields[cfg.num_slices + 3][0])
+        z_hat = self.side_em.decompress(
+            z_strings, tuple(int(v) for v in zshape)
+        )
+        mu_sup, sigma_sup = self._supports(z_hat)
+
+        decoded: List = []
+        ok_flags = []
+        for i in range(cfg.num_slices):
+            mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
+            N = int(np.prod(mu.shape[1:]))
+            _enc, dec, _K, _cap = self._rans(N, K)
+            cap = 1024
+            longest = max(len(wds) for wds in slice_words[i])
+            while cap < longest:
+                cap *= 2
+            stream = np.zeros((n, cap), np.uint16)
+            for b, wds in enumerate(slice_words[i]):
+                stream[b, : len(wds)] = wds
+            rows32 = self.em.rows(sigma).astype(jnp.int32)
+            values, ok = dec(jnp.asarray(stream), rows32.reshape(n, -1))
+            ok_flags.append(ok)
+            y_hat_i = self._apply_loc(values.reshape(mu.shape), mu)
+            decoded.append(self._finish_slice(i, mu_sup, decoded, y_hat_i))
+
+        y_hat = jnp.concatenate(decoded, axis=-1)
+        x_hat = self._synthesize(y_hat)
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))
+        x_hat, ok_flags = jax.device_get((x_hat, ok_flags))
+        if not bool(np.all(np.asarray(ok_flags))):
+            raise ValueError("corrupt device-coded bitstream (rANS state)")
+        return np.asarray(x_hat, np.uint8)
+
+    def compress_iter(self, batches, depth: int = 2, coder: str = "host"):
         """Pipelined encode over batches: the device runs batch i+1's slice
-        chain while host threads range-code batch i (10 streams/img)."""
+        chain while host threads range-code batch i (10 streams/img).
+        ``coder="device"`` replaces the host coding stage with on-TPU rANS
+        (the finish stage then only fetches compressed words)."""
         from compression_tpu.parallel.pipeline import Pipeline
 
-        yield from Pipeline(
-            self._dispatch_encode, self._finish_encode, depth
-        ).run(batches)
+        if coder == "device":
+            dispatch, finish = self._dispatch_encode_rans, self._finish_encode_rans
+        elif coder == "host":
+            dispatch, finish = self._dispatch_encode, self._finish_encode
+        else:
+            raise ValueError(f"unknown coder {coder!r} (host|device)")
+        yield from Pipeline(dispatch, finish, depth).run(batches)
 
     # -- decode: slice-batched across images ---------------------------------
     #
@@ -523,7 +691,10 @@ class Codec:
         return slice_strings, z_strings, xshape, zshape
 
     def decompress_batch(self, blobs: List[bytes]) -> np.ndarray:
-        """Decodes same-size .tfci blobs as one lockstep slice-batched pass."""
+        """Decodes same-size .tfci blobs as one lockstep slice-batched pass
+        (host- or device-coded format, auto-detected)."""
+        if self._is_device_coded(blobs[0]):
+            return self._decompress_batch_rans(blobs)
         cfg = self.cfg
         slice_strings, z_strings, xshape, zshape = self._parse_blobs(blobs)
         n = len(blobs)
@@ -574,8 +745,10 @@ def make_codec(model: MS2020Model, params) -> Codec:
     return cached(params, lambda: Codec(model, params))
 
 
-def compress(model: MS2020Model, params, image: np.ndarray) -> bytes:
-    return make_codec(model, params).compress(image)
+def compress(
+    model: MS2020Model, params, image: np.ndarray, coder: str = "host"
+) -> bytes:
+    return make_codec(model, params).compress(image, coder)
 
 
 def decompress(model: MS2020Model, params, data: bytes) -> np.ndarray:

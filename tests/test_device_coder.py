@@ -77,6 +77,41 @@ def test_device_coded_stream_is_compact():
     assert dev_y <= host_y * 1.1 + 4 * K + 16
 
 
+def test_charm_device_coded_matches_host():
+    """ms2020 device-coded slice streams: identical reconstruction to the
+    host-coded format, deterministic, auto-detected, zero host-coder
+    round-trips in the slice chain."""
+    from compression_tpu.models import ms2020
+
+    cfg = ms2020.Config(
+        num_filters=8, num_latents=8, num_hyperlatents=4, num_slices=4
+    )
+    model = ms2020.MS2020Model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jax.random.PRNGKey(1),
+        training=True,
+    )
+    codec = ms2020.make_codec(model, params)
+    rng = np.random.RandomState(31)
+    images = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    host_blobs = codec.compress_batch(images)
+    dev_blobs = codec.compress_batch(images, coder="device")
+    assert codec._is_device_coded(dev_blobs[0])
+    assert not codec._is_device_coded(host_blobs[0])
+    ref = codec.decompress_batch(host_blobs)
+    out = codec.decompress_batch(dev_blobs)
+    np.testing.assert_array_equal(out, ref)
+    assert dev_blobs == codec.compress_batch(images, coder="device")
+    np.testing.assert_array_equal(codec.decompress(dev_blobs[1]), ref[1])
+    # Pipelined encode path routes the device coder too.
+    piped = list(
+        codec.compress_iter(iter([images]), depth=2, coder="device")
+    )
+    assert piped[0] == dev_blobs
+
+
 def test_corrupt_device_stream_raises():
     codec = _tiny_codec()
     image = (np.random.RandomState(6).rand(64, 64, 3) * 255).astype(np.uint8)
