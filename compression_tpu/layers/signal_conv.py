@@ -50,6 +50,7 @@ from compression_tpu.ops.padding_ops import same_padding_for_kernel
 
 __all__ = [
     "signal_conv",
+    "phase_kernel",
     "SignalConv1D",
     "SignalConv2D",
     "SignalConv3D",
@@ -90,6 +91,50 @@ def _upsample_zeros(x, strides_up, extra_pad_end):
             x = jax.lax.slice_in_dim(x, 0, shape[axis] - (s - 1), axis=axis)
     del ndim
     return x
+
+
+def phase_kernel(kernel, su, lo):
+    """Phase-decomposed dense kernel for an upsampled correlation.
+
+    ``y[su*q + p] = sum_m PK[p][m] * x[q + mlo + m]`` with
+    ``PK[p][m] = kernel[su*(m+mlo) + lo - p]`` where defined, else 0.
+
+    Args:
+      kernel: ``(*support, cin, cout)`` in correlation orientation.
+      su: per-dim upsampling factors; lo: per-dim low padding on the
+        upsampled grid.
+
+    Returns ``(pk, mlo, M)``: the dense stride-1 kernel
+    ``(*M, cin, prod(su)*cout)`` with phase-major output channels, the
+    input-index offset ``mlo`` and the dense support ``M`` per dim. Also
+    used by :mod:`compression_tpu.parallel.spatial` to shard upsampled
+    synthesis convs (the halo widths follow from ``mlo``/``M``)."""
+    ndim = kernel.ndim - 2
+    K = kernel.shape[:-2]
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    mlo = [-(lo[d] // su[d]) for d in range(ndim)]
+    mhi = [(K[d] - 1 - lo[d] + su[d] - 1) // su[d] for d in range(ndim)]
+    M = [mhi[d] - mlo[d] + 1 for d in range(ndim)]
+    # Static gather indices over (*M, *su): j_d = su*(m+mlo) + lo - p.
+    grids = np.meshgrid(
+        *[np.arange(m) for m in M], *[np.arange(s) for s in su],
+        indexing="ij",
+    )
+    j = [
+        su[d] * (grids[d] + mlo[d]) + lo[d] - grids[ndim + d]
+        for d in range(ndim)
+    ]
+    valid = np.ones(j[0].shape, bool)
+    for d in range(ndim):
+        valid &= (j[d] >= 0) & (j[d] < K[d])
+    jc = [np.clip(j[d], 0, K[d] - 1) for d in range(ndim)]
+    pk = kernel[tuple(jc)]                    # (*M, *su, cin, cout)
+    pk = pk * jnp.asarray(valid, pk.dtype)[..., None, None]
+    # -> (*M, cin, *su * cout) flattened phase-major output channels.
+    perm = list(range(ndim)) + [2 * ndim] + list(range(ndim, 2 * ndim)) + [2 * ndim + 1]
+    pk = jnp.transpose(pk, perm)
+    pk = pk.reshape(tuple(M) + (cin, int(np.prod(su)) * cout))
+    return pk, mlo, M
 
 
 def _phase_upsampled_conv(x, kernel, sd, su, pad, extra_pad_end):
@@ -134,31 +179,8 @@ def _phase_upsampled_conv(x, kernel, sd, su, pad, extra_pad_end):
         raise ValueError(
             f"empty output for input {n}, support {K}, padding {pad}"
         )
-    # Phase kernels: y[su*q + p] = sum_m PK[p][m] * x[q + mlo + m], with
-    # PK[p][m] = kernel[su*(m+mlo) + lo - p] where defined, else 0.
-    mlo = [-(lo[d] // su[d]) for d in range(ndim)]
-    mhi = [(K[d] - 1 - lo[d] + su[d] - 1) // su[d] for d in range(ndim)]
-    M = [mhi[d] - mlo[d] + 1 for d in range(ndim)]
-    # Static gather indices over (*M, *su): j_d = su*(m+mlo) + lo - p.
-    grids = np.meshgrid(
-        *[np.arange(m) for m in M], *[np.arange(s) for s in su],
-        indexing="ij",
-    )
-    j = [
-        su[d] * (grids[d] + mlo[d]) + lo[d] - grids[ndim + d]
-        for d in range(ndim)
-    ]
-    valid = np.ones(j[0].shape, bool)
-    for d in range(ndim):
-        valid &= (j[d] >= 0) & (j[d] < K[d])
-    jc = [np.clip(j[d], 0, K[d] - 1) for d in range(ndim)]
-    pk = kernel[tuple(jc)]                    # (*M, *su, cin, cout)
-    pk = pk * jnp.asarray(valid, pk.dtype)[..., None, None]
-    # -> (*M, cin, *su * cout) flattened phase-major output channels.
-    perm = list(range(ndim)) + [2 * ndim] + list(range(ndim, 2 * ndim)) + [2 * ndim + 1]
-    pk = jnp.transpose(pk, perm)
+    pk, mlo, M = phase_kernel(kernel, su, lo)
     P = int(np.prod(su))
-    pk = pk.reshape(tuple(M) + (cin, P * cout))
 
     Q = [-(-T[d] // su[d]) for d in range(ndim)]
     conv_pad = tuple(

