@@ -108,10 +108,10 @@ def cmd_compress(args) -> int:
     if getattr(args, "device_coder", False):
         # On-TPU rANS entropy coding (codec/rans.py): the y stream is
         # coded on the device; decompress auto-detects the format.
-        if entry.family not in ("bmshj2018", "ms2020"):
+        if entry.family not in ("bmshj2018", "ms2020", "mbt2018", "hific"):
             raise SystemExit(
-                f"--device-coder is implemented for the bmshj2018 and "
-                f"ms2020 families; {name!r} is {entry.family}"
+                f"--device-coder needs a hyperprior family (bmshj2018/"
+                f"mbt2018/ms2020/hific); {name!r} is {entry.family}"
             )
         data = entry.compress(model, params, image, coder="device")
     else:

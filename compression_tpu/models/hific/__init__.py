@@ -16,6 +16,7 @@ from compression_tpu.models.hific.model import (
     HificModel,
     compress,
     decompress,
+    make_codec,
     make_loss_fns,
     make_train_steps,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "HificModel",
     "compress",
     "decompress",
+    "make_codec",
     "make_loss_fns",
     "make_train_steps",
     "train",

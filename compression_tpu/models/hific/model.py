@@ -324,6 +324,24 @@ class Codec:
             ).astype(jnp.uint8)
         )
         self._generate = lambda y: _generate(self._p, y)
+        # Device-coded mode plumbing (models/device_coding.py duck-typing):
+        # z coder boundary on device + the shared attribute names.
+        z_off = self.side_em.symbol_offset()
+        self._z_symbols = jax.jit(
+            lambda z: jnp.round(z - z_off).astype(jnp.int32)
+        )
+        self._z_hat = jax.jit(lambda zs: zs.astype(jnp.float32) + z_off)
+        self._synthesize = self._generate
+        _encode_u8 = jax.jit(
+            lambda p, xu8: model.apply(
+                p, xu8.astype(jnp.float32) / 255.0,
+                method=HificModel.encode_latents,
+            )
+        )
+        self._encode_u8 = lambda x: _encode_u8(self._p, x)
+        import types as _types
+
+        self.cfg = _types.SimpleNamespace(model_name=self.name, downscale=64)
 
     def compress(self, image: np.ndarray) -> bytes:
         x = jnp.asarray(image, jnp.float32)[None] / 255.0
@@ -350,7 +368,31 @@ class Codec:
         )
         return packed.string
 
+    def compress_batch(self, images, coder: str = "host"):
+        """Batched encode; ``coder="device"`` = on-TPU rANS for y
+        (models/device_coding.py)."""
+        if coder == "device":
+            from compression_tpu.models import device_coding as dc
+
+            return dc.finish_encode_rans(
+                self, dc.dispatch_encode_rans(self, images)
+            )
+        if coder != "host":
+            raise ValueError(f"unknown coder {coder!r} (host|device)")
+        return [self.compress(im) for im in images]
+
+    def decompress_batch(self, blobs) -> np.ndarray:
+        from compression_tpu.models import device_coding as dc
+
+        if dc.is_device_coded(blobs[0]):
+            return dc.decompress_batch_rans(self, blobs)
+        return np.stack([self.decompress(b) for b in blobs])
+
     def decompress(self, data: bytes) -> np.ndarray:
+        from compression_tpu.models import device_coding as dc
+
+        if dc.is_device_coded(data):
+            return dc.decompress_batch_rans(self, [data])[0]
         packed = PackedTensors(data)
         y_string, z_string, xshape, zshape = packed.unpack(
             [object, object, np.int32, np.int32]
@@ -373,8 +415,14 @@ def make_codec(model: HificModel, params) -> Codec:
     return cached(params, lambda: Codec(model, params))
 
 
-def compress(model: HificModel, params, image: np.ndarray) -> bytes:
-    return make_codec(model, params).compress(image)
+def compress(
+    model: HificModel, params, image: np.ndarray, coder: str = "host"
+) -> bytes:
+    codec = make_codec(model, params)
+    if coder == "device":
+        return codec.compress_batch(np.asarray(image, np.uint8)[None],
+                                    coder="device")[0]
+    return codec.compress(image)
 
 
 def decompress(model: HificModel, params, data: bytes) -> np.ndarray:

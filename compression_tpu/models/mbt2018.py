@@ -287,26 +287,45 @@ class Codec:
             blobs.append(packed.string)
         return blobs
 
-    def compress(self, image: np.ndarray) -> bytes:
-        return self._finish_encode(
-            self._dispatch_encode(np.asarray(image, np.uint8)[None])
+    def compress(self, image: np.ndarray, coder: str = "host") -> bytes:
+        return self.compress_batch(
+            np.asarray(image, np.uint8)[None], coder
         )[0]
 
-    def compress_batch(self, images: np.ndarray) -> list:
-        return self._finish_encode(self._dispatch_encode(images))
+    def compress_batch(self, images: np.ndarray, coder: str = "host") -> list:
+        """``coder="device"`` entropy-codes y on the accelerator (K-lane
+        rANS, models/device_coding.py) — only compressed words cross the
+        link; decompress auto-detects the blob format."""
+        dispatch, finish = self._enc_stages(coder)
+        return finish(dispatch(images))
 
-    def compress_iter(self, batches, depth: int = 2):
+    def _enc_stages(self, coder: str):
+        if coder == "device":
+            from compression_tpu.models import device_coding as dc
+
+            return (
+                lambda images: dc.dispatch_encode_rans(self, images),
+                lambda work: dc.finish_encode_rans(self, work),
+            )
+        if coder != "host":
+            raise ValueError(f"unknown coder {coder!r} (host|device)")
+        return self._dispatch_encode, self._finish_encode
+
+    def compress_iter(self, batches, depth: int = 2, coder: str = "host"):
         """Double-buffered encode: device transforms batch i+1 while host
         threads range-code batch i."""
         from compression_tpu.parallel.pipeline import Pipeline
 
-        yield from Pipeline(
-            self._dispatch_encode, self._finish_encode, depth
-        ).run(batches)
+        dispatch, finish = self._enc_stages(coder)
+        yield from Pipeline(dispatch, finish, depth).run(batches)
 
     # -- decode ---------------------------------------------------------------
 
     def decompress_batch(self, blobs: list) -> np.ndarray:
+        from compression_tpu.models import device_coding as dc
+
+        if dc.is_device_coded(blobs[0]):
+            return dc.decompress_batch_rans(self, blobs)
         y_strings, z_strings = [], []
         xshape = zshape = None
         for blob in blobs:
@@ -350,8 +369,10 @@ def make_codec(model: MBT2018Model, params) -> Codec:
     return cached(params, lambda: Codec(model, params))
 
 
-def compress(model: MBT2018Model, params, image: np.ndarray) -> bytes:
-    return make_codec(model, params).compress(image)
+def compress(
+    model: MBT2018Model, params, image: np.ndarray, coder: str = "host"
+) -> bytes:
+    return make_codec(model, params).compress(image, coder)
 
 
 def decompress(model: MBT2018Model, params, data: bytes) -> np.ndarray:

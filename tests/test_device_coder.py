@@ -112,6 +112,53 @@ def test_charm_device_coded_matches_host():
     assert piped[0] == dev_blobs
 
 
+def test_mbt2018_device_coded_matches_host():
+    """Mean-scale family through the shared device-coding module: same
+    reconstruction as the host format, deterministic, auto-detected."""
+    from compression_tpu.models import mbt2018
+
+    cfg = mbt2018.Config(num_filters=8, num_latents=8, num_hyperlatents=4)
+    model = mbt2018.MBT2018Model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jax.random.PRNGKey(1),
+        training=True,
+    )
+    codec = mbt2018.make_codec(model, params)
+    rng = np.random.RandomState(41)
+    images = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    host = codec.compress_batch(images)
+    dev = codec.compress_batch(images, coder="device")
+    ref = codec.decompress_batch(host)
+    np.testing.assert_array_equal(codec.decompress_batch(dev), ref)
+    assert dev == codec.compress_batch(images, coder="device")
+
+
+def test_hific_device_coded_matches_host():
+    from compression_tpu.models import hific
+
+    cfg = hific.HificConfig(
+        name="hific-test", target_rate=0.3, num_latents=8,
+        num_hyperlatents=4, num_residual_blocks=1,
+    )
+    model = hific.HificModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jax.random.PRNGKey(1),
+        training=True,
+    )
+    codec = hific.make_codec(model, params)
+    rng = np.random.RandomState(43)
+    images = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    host = codec.compress_batch(images)
+    dev = codec.compress_batch(images, coder="device")
+    ref = codec.decompress_batch(host)
+    np.testing.assert_array_equal(codec.decompress_batch(dev), ref)
+    np.testing.assert_array_equal(codec.decompress(dev[0]), ref[0])
+
+
 def test_corrupt_device_stream_raises():
     codec = _tiny_codec()
     image = (np.random.RandomState(6).rand(64, 64, 3) * 255).astype(np.uint8)
