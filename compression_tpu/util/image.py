@@ -72,7 +72,12 @@ def _fspecial_gauss(size: int, sigma: float):
 
 
 def _filter2(x, win):
-    """Separable 2-D blur, valid padding; x: (N, H, W, C)."""
+    """Separable 2-D blur, valid padding; x: (N, H, W, C).
+
+    Precision.HIGHEST is load-bearing: on TPU the default conv precision is
+    bfloat16 MXU passes, and the SSIM variance term E[x^2] - mu^2 cancels
+    catastrophically under it (observed: msssim 1.0037 / hard 0.0 rows in
+    results/synthetic before the fix)."""
     c = x.shape[-1]
     k = win.shape[0]
     kernel_h = jnp.tile(win.reshape(k, 1, 1, 1), (1, 1, 1, c))
@@ -80,20 +85,25 @@ def _filter2(x, win):
     dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, c), ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
         x, kernel_h, (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, k, 1, c), ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(
         x, kernel_w, (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
 
 
 def _ssim_per_scale(a, b, max_val, filter_size=11, filter_sigma=1.5,
                     k1=0.01, k2=0.03):
+    # SSIM is invariant to jointly rescaling (a, b, max_val); dividing
+    # through by max_val keeps E[x^2] near 1 so the float32 variance
+    # cancellation stays ~1e-7 instead of ~1e-2 at 255-scale.
+    a = a * (1.0 / max_val)
+    b = b * (1.0 / max_val)
+    c1 = k1 ** 2
+    c2 = k2 ** 2
     win = _fspecial_gauss(filter_size, filter_sigma)
-    c1 = (k1 * max_val) ** 2
-    c2 = (k2 * max_val) ** 2
     mu_a = _filter2(a, win)
     mu_b = _filter2(b, win)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b

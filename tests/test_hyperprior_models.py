@@ -112,6 +112,71 @@ def test_metrics_psnr_msssim():
     assert float(im.msssim(jnp.asarray(a, jnp.float32), jnp.asarray(noisy, jnp.float32))[0]) < 1.0
 
 
+def _np_msssim_f64(a, b, max_val=255.0):
+    """Float64 NumPy executable spec of msssim (Wang et al. 2003), used to
+    pin the JAX implementation's numerics. Mirrors util/image.py: 11-tap
+    sigma-1.5 Gaussian, valid padding, count-normalized 2x2 pooling."""
+    from scipy.signal import convolve
+
+    x1 = np.arange(11, dtype=np.float64) - 5.0
+    g = np.exp(-(x1**2) / (2 * 1.5**2))
+    g /= g.sum()
+    win = np.outer(g, g)
+    weights = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+    def filt(x):
+        return np.stack(
+            [convolve(x[..., c], win, mode="valid") for c in range(x.shape[-1])], -1
+        )
+
+    def pool(x):
+        h, w, c = x.shape
+        x2 = np.full((h + h % 2, w + w % 2, c), np.nan)
+        x2[:h, :w] = x
+        return np.nanmean(
+            x2.reshape(x2.shape[0] // 2, 2, x2.shape[1] // 2, 2, c), axis=(1, 3)
+        )
+
+    a = np.asarray(a, np.float64) / max_val
+    b = np.asarray(b, np.float64) / max_val
+    c1, c2 = 0.01**2, 0.03**2
+    out = 1.0
+    for i, w in enumerate(weights):
+        mu_a, mu_b = filt(a), filt(b)
+        s_aa = filt(a * a) - mu_a**2
+        s_bb = filt(b * b) - mu_b**2
+        s_ab = filt(a * b) - mu_a * mu_b
+        cs = np.mean((2 * s_ab + c2) / (s_aa + s_bb + c2))
+        lum_cs = np.mean(
+            (2 * mu_a * mu_b + c1) / (mu_a**2 + mu_b**2 + c1)
+            * (2 * s_ab + c2) / (s_aa + s_bb + c2)
+        )
+        v = lum_cs if i == len(weights) - 1 else cs
+        out *= max(v, 0.0) ** w
+        if i < len(weights) - 1:
+            a, b = pool(a), pool(b)
+    return out
+
+
+def test_msssim_matches_float64_reference():
+    """The float32 JAX msssim must track a float64 NumPy spec to ~1e-4 at
+    255-scale inputs. Guards against the round-3 regression class where
+    low-precision convs made E[x^2]-mu^2 cancel (observed msssim 1.0037 and
+    hard-0.0 rows in results/synthetic before the fix)."""
+    from compression_tpu.util import image as im
+
+    rng = np.random.RandomState(7)
+    a = rng.rand(200, 184, 3) * 255
+    for b in (
+        a + rng.randn(*a.shape) * 8,               # mild noise
+        np.clip(a * 0.9 + 20 + rng.randn(*a.shape) * 25, 0, 255),  # heavy
+    ):
+        want = _np_msssim_f64(a, b)
+        got = float(im.msssim(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+        assert got == pytest.approx(want, abs=2e-4), (got, want)
+        assert 0.0 < got <= 1.0 + 1e-5
+
+
 def test_pipelined_iter_matches_serial():
     """compress_iter/decompress_iter (double-buffered device/host pipeline)
     must be byte-identical to the one-shot batch paths, in order."""
