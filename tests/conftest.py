@@ -15,9 +15,21 @@ import os
 os.environ["JAX_PLATFORMS"] = os.environ.get("TPC_TEST_PLATFORM", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
+    xla_flags = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# XLA:CPU collective rendezvous has a termination timeout that EXITS the
+# process ("Exiting to ensure a consistent program state") when not all
+# 8 virtual-device threads get scheduled in time. On a 1-CPU host under
+# load that fires spuriously mid-suite (observed as a silent SIGABRT in
+# block_until_ready — pytest's fd capture swallows the LOG(FATAL) text).
+# Raise it far beyond any plausible scheduling delay.
+if "xla_cpu_collective" not in xla_flags:
+    xla_flags += (
+        " --xla_cpu_collective_timeout_seconds=3600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = xla_flags
 # Keep test numerics deterministic and float32-strict.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "float32")
 
