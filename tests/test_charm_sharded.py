@@ -2,12 +2,17 @@
 sharded over the 8-device CPU mesh must decode byte-exactly equal to the
 single-device lockstep path (BASELINE config #4's "across chips" half)."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from compression_tpu.models import ms2020
 from compression_tpu.parallel import ShardedCharmCodec, make_mesh
+
+pytestmark = pytest.mark.slow  # multi-minute: virtual-mesh compiles / model-scale jits
+
 
 
 def _tiny_cfg():

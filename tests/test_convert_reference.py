@@ -20,6 +20,8 @@ from tools.make_reference_savedmodel import (  # noqa: E402
     template_to_reference_names,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute: virtual-mesh compiles / model-scale jits
+
 
 def _template(family):
     if family == "hific":

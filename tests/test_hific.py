@@ -1,10 +1,15 @@
 """HiFiC: architecture shapes, joint G/D train step, coding round trip."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from compression_tpu.models import hific
+
+pytestmark = pytest.mark.slow  # multi-minute: virtual-mesh compiles / model-scale jits
+
 
 
 def _tiny_cfg():

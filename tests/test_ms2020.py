@@ -1,10 +1,15 @@
 """ms2020 CHARM: forward, gradients, and the 10-slice serial round trip."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from compression_tpu.models import ms2020
+
+pytestmark = pytest.mark.slow  # multi-minute: virtual-mesh compiles / model-scale jits
+
 
 
 def _tiny_cfg():

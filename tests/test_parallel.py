@@ -1,10 +1,15 @@
 """Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4):
 data-parallel training steps and the driver's dryrun entry point."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+
+pytestmark = pytest.mark.slow  # multi-minute: virtual-mesh compiles / model-scale jits
+
 
 
 def test_dp_step_matches_single_device():

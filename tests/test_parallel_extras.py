@@ -1,8 +1,13 @@
 """Pipeline overlap, spatial halo conv, and toy-source tests."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow  # multi-minute: virtual-mesh compiles / model-scale jits
+
 
 
 def test_pipeline_preserves_order_and_results():

@@ -83,6 +83,7 @@ GRID_1D = list(
 
 
 @pytest.mark.parametrize("k,corr,sd,su,padding,extra_pad_end", GRID_1D)
+@pytest.mark.slow
 def test_signal_conv_1d_matches_golden(k, corr, sd, su, padding, extra_pad_end):
     if padding == "same_reflect":
         # reflect needs pad width < upsampled length
@@ -118,6 +119,7 @@ GRID_2D = list(
 
 
 @pytest.mark.parametrize("k,corr,sd,su,padding", GRID_2D)
+@pytest.mark.slow
 def test_signal_conv_2d_matches_golden(k, corr, sd, su, padding):
     rng = np.random.RandomState(hash((k, corr, sd, su, padding)) % 2**31)
     x = rng.randn(1, 8, 9, 2)
@@ -245,6 +247,7 @@ GRID_BIG_UP = list(
 
 
 @pytest.mark.parametrize("k,corr,sd,su,padding,extra_pad_end", GRID_BIG_UP)
+@pytest.mark.slow
 def test_signal_conv_big_upsampling_matches_golden(
     k, corr, sd, su, padding, extra_pad_end
 ):
