@@ -1,0 +1,87 @@
+"""Round-orchestration tooling: checkpoint promotion + cache fingerprint.
+
+tools/promote_train_ckpt.py salvages deadline-killed training runs by
+promoting the periodic ``<model>.train.msgpack`` (which carries optimizer
+state) to the eval checkpoint name that ``cli/registry.resolve`` loads.
+util/cache.host_fingerprint keys the persistent XLA cache; CPU-platform
+processes add the CPU model name (stale-AOT SIGILL guard) while the
+default stays byte-stable so existing TPU cache dirs keep resolving.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from compression_tpu.models.common import load_checkpoint, save_checkpoint
+from compression_tpu.util.cache import host_fingerprint
+from tools.promote_train_ckpt import promote
+
+
+@pytest.fixture()
+def model_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPC_MODEL_DIR", str(tmp_path))
+    return tmp_path
+
+
+def _params():
+    rng = np.random.RandomState(0)
+    return {
+        "analysis": {"kernel": rng.randn(3, 3, 2, 4).astype(np.float32)},
+        "prior": {"logits": rng.randn(4, 7).astype(np.float32)},
+    }
+
+
+def test_promote_strips_opt_state_and_preserves_params(model_dir):
+    params = _params()
+    opt_state = {"m": {"analysis": {"kernel": np.zeros((3, 3, 2, 4), np.float32)}}}
+    src = model_dir / "bls2017.train.msgpack"
+    save_checkpoint(str(src), params, step=123, opt_state=opt_state)
+
+    assert promote("bls2017")
+    dst = model_dir / "bls2017.msgpack"
+    assert dst.exists()
+    # The promoted blob must load through the params-only template path
+    # (what cli/tfci eval uses) with identical values and the right step.
+    template = {k: {kk: np.zeros_like(vv) for kk, vv in v.items()}
+                for k, v in params.items()}
+    loaded, step = load_checkpoint(str(dst), template)
+    assert step == 123
+    np.testing.assert_array_equal(
+        loaded["analysis"]["kernel"], params["analysis"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        loaded["prior"]["logits"], params["prior"]["logits"]
+    )
+
+
+def test_promote_is_noop_when_eval_ckpt_current(model_dir):
+    params = _params()
+    src = model_dir / "bls2017.train.msgpack"
+    save_checkpoint(str(src), params, step=10, opt_state={"m": 1})
+    assert promote("bls2017")
+    # Second promote: eval ckpt is now newer -> refuses without --force.
+    assert not promote("bls2017")
+    assert promote("bls2017", force=True)
+
+
+def test_promote_without_training_ckpt_is_clean_no(model_dir):
+    assert not promote("bmshj2018")
+
+
+def test_host_fingerprint_platform_scoping():
+    base = host_fingerprint()
+    strict = host_fingerprint(include_model=True)
+    # Stable across calls (cache-dir identity must not jitter).
+    assert base == host_fingerprint()
+    assert strict == host_fingerprint(include_model=True)
+    assert len(base) == 12 and len(strict) == 12
+    # On hosts exposing a cpuinfo model name the strict key must differ
+    # (that difference IS the stale-AOT guard).
+    with open("/proc/cpuinfo") as f:
+        has_model = any(line.startswith("model name") for line in f)
+    if has_model:
+        assert base != strict
