@@ -33,6 +33,17 @@ def main():
 
     import jax
 
+    # Honor an explicit platform request (e.g. JAX_PLATFORMS=cpu for a
+    # CPU smoke of the bench plumbing): the axon sitecustomize overrides
+    # the env var with "axon,cpu", which would otherwise initialize the
+    # tunneled TPU — and that chip is exclusive, so a stray bench process
+    # would contend with whatever training run owns it.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from compression_tpu.util.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -126,51 +137,68 @@ def main():
     rounds = 3 if tiny else 6
     # Coder selection for the measured encode: "host" = native C++ range
     # coder fed by a symbols+rows fetch; "device" = on-TPU rANS
-    # (codec/rans.py) shipping only compressed words. Decode auto-detects.
-    coder = os.environ.get("TPC_BENCH_CODER", "host")
-    # Warm the selected encode path too (the warmup above used host).
-    if coder != "host":
-        list(codec.compress_iter(iter([images]), depth=1, coder=coder))
-    # Fresh timer for the measured region only.
+    # (codec/rans.py) shipping only compressed words — over a tunneled
+    # chip the fetch is the dominant stage, so both product paths are
+    # measured and the faster one is the headline. TPC_BENCH_CODER pins
+    # one path for debugging. Decode auto-detects from the blob format.
     from compression_tpu.util.profiling import StageTimer
 
-    codec.timer = StageTimer()
-    t0 = time.perf_counter()
-    blob_stream = list(
-        codec.compress_iter(
-            (images for _ in range(rounds)), depth=2, coder=coder
-        )
-    )
-    t_enc = time.perf_counter()
-    outs = list(codec.decompress_iter(iter(blob_stream), depth=2))
-    dt = time.perf_counter() - t0
-    t_dec = dt - (t_enc - t0)
-    assert len(outs) == rounds and outs[0].shape == images.shape
-    img_per_s = rounds * batch / dt
-
-    # Per-stage attribution (stderr; stdout stays one JSON line). The
-    # pipelined wall time per phase should approach max(stage sums), not
-    # their total — that gap is the measured device/host overlap.
+    forced = os.environ.get("TPC_BENCH_CODER")
     n_imgs = rounds * batch
-    print(codec.timer.report(), file=sys.stderr)
-    enc_s = sum(v for k, v in codec.timer.totals.items() if k.startswith("enc/"))
-    dec_s = sum(v for k, v in codec.timer.totals.items() if k.startswith("dec/"))
+    results = {}
+    for coder in [forced] if forced else ["host", "device"]:
+        try:
+            # Warm this path's jits (the warmup above used host).
+            list(codec.compress_iter(iter([images]), depth=1, coder=coder))
+            # Fresh timer for the measured region only.
+            codec.timer = StageTimer()
+            t0 = time.perf_counter()
+            blob_stream = list(
+                codec.compress_iter(
+                    (images for _ in range(rounds)), depth=2, coder=coder
+                )
+            )
+            t_enc = time.perf_counter()
+            outs = list(codec.decompress_iter(iter(blob_stream), depth=2))
+            dt = time.perf_counter() - t0
+            t_dec = dt - (t_enc - t0)
+            assert len(outs) == rounds and outs[0].shape == images.shape
+            img_per_s = n_imgs / dt
+
+            # Per-stage attribution (stderr; stdout stays one JSON line).
+            # The pipelined wall time per phase should approach
+            # max(stage sums), not their total — that gap is the measured
+            # device/host overlap.
+            print(f"--- coder={coder} ---", file=sys.stderr)
+            print(codec.timer.report(), file=sys.stderr)
+            tot = codec.timer.totals
+            enc_s = sum(v for k, v in tot.items() if k.startswith("enc/"))
+            dec_s = sum(v for k, v in tot.items() if k.startswith("dec/"))
+            print(
+                f"encode: wall {t_enc - t0:.3f}s vs stage-sum {enc_s:.3f}s "
+                f"(overlap hidden {enc_s - (t_enc - t0):.3f}s); "
+                f"decode: wall {t_dec:.3f}s vs stage-sum {dec_s:.3f}s "
+                f"(overlap hidden {dec_s - t_dec:.3f}s); "
+                f"{n_imgs} imgs, {img_per_s:.3f} img/s end-to-end",
+                file=sys.stderr,
+            )
+            results[coder] = img_per_s
+        except Exception as e:  # the driver must always get its JSON line
+            print(f"coder {coder!r} failed: {e!r}", file=sys.stderr)
+    if not results:
+        raise SystemExit("no coder path completed")
+    best = max(results, key=results.get)
     print(
-        f"encode: wall {t_enc - t0:.3f}s vs stage-sum {enc_s:.3f}s "
-        f"(overlap hidden {enc_s - (t_enc - t0):.3f}s); "
-        f"decode: wall {t_dec:.3f}s vs stage-sum {dec_s:.3f}s "
-        f"(overlap hidden {dec_s - t_dec:.3f}s); "
-        f"{n_imgs} imgs, {img_per_s:.3f} img/s end-to-end",
-        file=sys.stderr,
+        f"headline: coder={best} of {results}", file=sys.stderr
     )
 
     print(
         json.dumps(
             {
                 "metric": "bmshj2018_encode_decode_throughput",
-                "value": round(img_per_s, 3),
+                "value": round(results[best], 3),
                 "unit": "img/s/chip (768x512)",
-                "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+                "vs_baseline": round(results[best] / BASELINE_IMG_PER_S, 3),
             }
         )
     )

@@ -23,10 +23,22 @@ import numpy as np
 
 def main() -> int:
     sys.path.insert(0, "/root/repo")
+    import os
+
+    import jax
+
+    # Honor an explicit platform request (JAX_PLATFORMS=cpu smoke); the
+    # axon sitecustomize otherwise rewrites it to "axon,cpu" and a stray
+    # bench process would contend with the exclusive tunneled chip.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from compression_tpu.util.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax
 
     from compression_tpu.cli import registry
     from compression_tpu.models import common, ms2020

@@ -19,6 +19,15 @@ import numpy as np
 def main():
     import jax
 
+    # Honor an explicit platform request (JAX_PLATFORMS=cpu smoke); the
+    # axon sitecustomize otherwise rewrites it to "axon,cpu" and a stray
+    # bench process would contend with the exclusive tunneled chip.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from compression_tpu.util.cache import enable_compilation_cache
 
     enable_compilation_cache()
