@@ -33,12 +33,13 @@ def main():
 
     import jax
 
-    # Honor an explicit platform request (e.g. JAX_PLATFORMS=cpu for a
-    # CPU smoke of the bench plumbing): the axon sitecustomize overrides
-    # the env var with "axon,cpu", which would otherwise initialize the
-    # tunneled TPU — and that chip is exclusive, so a stray bench process
-    # would contend with whatever training run owns it.
-    if os.environ.get("JAX_PLATFORMS"):
+    # Honor an explicit CPU-only request (JAX_PLATFORMS=cpu smoke of the
+    # bench plumbing): the axon sitecustomize rewrites the env to
+    # "axon,cpu", which would otherwise initialize the tunneled TPU — and
+    # that chip is exclusive. Only the pure-cpu case is overridden: the
+    # ambient default must keep BOTH backends registered because host-side
+    # work pins to jax.local_devices(backend="cpu").
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
         try:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
@@ -148,8 +149,13 @@ def main():
     results = {}
     for coder in [forced] if forced else ["host", "device"]:
         try:
-            # Warm this path's jits (the warmup above used host).
-            list(codec.compress_iter(iter([images]), depth=1, coder=coder))
+            # Warm this path's ENCODE and DECODE jits (the warmup above
+            # used host; the device decoder is its own large scan program
+            # whose first compile must not land in the timed region).
+            warm_blobs = list(
+                codec.compress_iter(iter([images]), depth=1, coder=coder)
+            )
+            list(codec.decompress_iter(iter(warm_blobs), depth=1))
             # Fresh timer for the measured region only.
             codec.timer = StageTimer()
             t0 = time.perf_counter()

@@ -192,13 +192,23 @@ def cmd_train(args) -> int:
     family = entry.family
     import importlib
 
+    # The periodic training checkpoint must share its stem with the eval
+    # checkpoint (registry.checkpoint_path): aliases and variable-rate
+    # quality suffixes canonicalize there, and naming the .train.msgpack
+    # from the raw CLI name would let `train b2018` and `train
+    # b2018-gdn-128` silently resume different training states while
+    # eval reads a third file (and tools/promote_train_ckpt.py derives
+    # its source from the canonical stem).
+    stem = os.path.splitext(
+        os.path.basename(registry.checkpoint_path(args.model))
+    )[0]
     tc = TrainConfig(
         train_glob=args.glob,
         batch_size=args.batch_size,
         patch_size=args.patch_size,
         steps=args.steps,
         checkpoint_dir=registry.model_dir(),
-        checkpoint_name=f"{args.model}.train.msgpack",
+        checkpoint_name=f"{stem}.train.msgpack",
         checkpoint_every=args.checkpoint_every,
         num_devices=args.num_devices,
         learning_rate=args.lr,

@@ -301,7 +301,6 @@ class Codec:
         self.timer = StageTimer()
         self._model = model
         self._jit_decoders: dict = {}
-        self._rans_coders_cache: dict = {}
         hyperprior = model.apply(params, method=BMSHJ2018Model.get_hyperprior)
         side_proto = ContinuousBatchedEntropyModel(hyperprior, coding_rank=3)
         main_proto = LocationScaleIndexedEntropyModel(NoisyNormal, coding_rank=3)
@@ -510,28 +509,12 @@ class Codec:
     # value level (only the bitstream differs; see codec/rans_ref.py).
 
     def _rans(self, N: int, K: int | None = None):
-        import os as _os
+        # Shared K-selection heuristic, worst-case capacity formula, and
+        # per-(N, K) jit cache live in device_coding.rans_for — one
+        # definition for every family that writes the device blob format.
+        from compression_tpu.models.device_coding import rans_for
 
-        if K is None:
-            # Lane count trades vectorization width against the 4-byte-
-            # per-lane state flush: cap lanes so the overhead stays a few
-            # percent of even a well-compressed stream (~N/16 lanes keeps
-            # it under ~0.5 bit/element), up to the configured width.
-            K = int(_os.environ.get("TPC_RANS_K", "128"))
-            k_fit = 4
-            while k_fit * 2 <= max(4, N // 16) and k_fit * 2 <= K:
-                k_fit *= 2
-            K = k_fit
-        key = (N, K)
-        if key not in self._rans_coders_cache:
-            from compression_tpu.codec import rans
-
-            # Hard worst case: 3 emissions per element (escape) + flush.
-            cap = 3 * N + 2 * K + 64
-            enc = jax.jit(rans.make_rans_encoder(self.em.tables, K, cap))
-            dec = jax.jit(rans.make_rans_decoder(self.em.tables, K, N))
-            self._rans_coders_cache[key] = (enc, dec, K, cap)
-        return self._rans_coders_cache[key]
+        return rans_for(self, N, K)
 
     def _dispatch_encode_rans(self, images: np.ndarray) -> _RansEncodeWork:
         x, hw = self._pad_np(np.asarray(images, np.uint8), self.cfg.downscale)
@@ -625,15 +608,10 @@ class Codec:
             n = len(blobs)
             N = int(np.prod(sigma.shape[1:]))
             _enc, dec, _K, _cap = self._rans(N, K)
-            cap = 1024
-            longest = max(len(wds) for wds in y_words)
-            while cap < longest:
-                cap *= 2
-            stream = np.zeros((n, cap), np.uint16)
-            for b, wds in enumerate(y_words):
-                stream[b, : len(wds)] = wds
+            from compression_tpu.models.device_coding import pad_words
+
             values, ok = dec(
-                jnp.asarray(stream),
+                jnp.asarray(pad_words(y_words)),
                 rows.astype(jnp.int32).reshape(n, -1),
             )
             y_hat = values.reshape(sigma.shape)
@@ -651,8 +629,9 @@ class Codec:
 
     @staticmethod
     def _is_device_coded(blob: bytes) -> bool:
-        packed = PackedTensors(blob)
-        return len([k for k, *_ in packed.describe() if k != "MD"]) == 5
+        from compression_tpu.models.device_coding import is_device_coded
+
+        return is_device_coded(blob)
 
     # -- streaming product paths (double-buffered device/host overlap) ------
 
@@ -732,7 +711,11 @@ class Codec:
     # them compiles like the standalone shared jits and the decoded bytes
     # match the host path exactly (asserted in tests/test_jit_decode.py).
 
-    def _build_jit_decoder(self, n, zshape, sigshape, capz, capy):
+    def _build_jit_decoder(self, n, zshape, sigshape):
+        # Stream capacities don't appear here: the jitted program reads
+        # them from its buffer arguments' static shapes. The _jit_decoders
+        # cache key still includes them so each capacity bucket keeps its
+        # own compiled program.
         from compression_tpu.codec.jax_ops import make_jax_decoder
 
         model = self._model
@@ -799,7 +782,7 @@ class Codec:
         fn = self._jit_decoders.get(key)
         if fn is None:
             fn = self._jit_decoders[key] = self._build_jit_decoder(
-                n, zshape, sigshape, capz, capy
+                n, zshape, sigshape
             )
 
         def to_buf(strings, cap):

@@ -291,11 +291,22 @@ def train_model(
                 csv_path = os.path.join(
                     cfg.checkpoint_dir, cfg.checkpoint_name + ".metrics.csv"
                 )
+                keys = sorted(m)
+                header = "step," + ",".join(keys) + ",img_per_s\n"
                 new_file = not os.path.exists(csv_path)
+                if not new_file:
+                    # A resumed run whose metric set changed (e.g. a loss
+                    # recipe revision dropping a column) must not append
+                    # misaligned rows under the old header: rotate the
+                    # old file aside and start a fresh one.
+                    with open(csv_path) as f:
+                        old_header = f.readline()
+                    if old_header != header:
+                        os.replace(csv_path, csv_path + ".prev")
+                        new_file = True
                 with open(csv_path, "a") as f:
-                    keys = sorted(m)
                     if new_file:
-                        f.write("step," + ",".join(keys) + ",img_per_s\n")
+                        f.write(header)
                     f.write(
                         f"{step},"
                         + ",".join(f"{m[k]:.6g}" for k in keys)

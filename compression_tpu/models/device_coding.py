@@ -30,6 +30,7 @@ from compression_tpu.util import image as image_util
 __all__ = [
     "rans_for",
     "is_device_coded",
+    "pad_words",
     "dispatch_encode_rans",
     "finish_encode_rans",
     "decompress_batch_rans",
@@ -60,6 +61,20 @@ def rans_for(codec, N: int, K: int | None = None):
 def is_device_coded(blob: bytes) -> bool:
     packed = PackedTensors(blob)
     return len([k for k, *_ in packed.describe() if k != "MD"]) == 5
+
+
+def pad_words(word_lists) -> np.ndarray:
+    """Pads per-image u16 rANS word streams into one [n, cap] array, cap
+    rounded up to a power-of-two bucket so varying stream lengths reuse a
+    handful of compiled decode programs."""
+    cap = 1024
+    longest = max(len(w) for w in word_lists)
+    while cap < longest:
+        cap *= 2
+    out = np.zeros((len(word_lists), cap), np.uint16)
+    for b, w in enumerate(word_lists):
+        out[b, : len(w)] = w
+    return out
 
 
 def dispatch_encode_rans(codec, images: np.ndarray):
@@ -135,13 +150,7 @@ def decompress_batch_rans(codec, blobs: List[bytes]) -> np.ndarray:
     mu, sigma = codec._params(z_hat)
     N = int(np.prod(mu.shape[1:]))
     _enc, dec, _K, _cap = rans_for(codec, N, K)
-    cap = 1024
-    longest = max(len(w) for w in y_words)
-    while cap < longest:
-        cap *= 2
-    stream = np.zeros((n, cap), np.uint16)
-    for b, w in enumerate(y_words):
-        stream[b, : len(w)] = w
+    stream = pad_words(y_words)
     rows32 = codec.em.rows(sigma).astype(jnp.int32)
     values, ok = dec(jnp.asarray(stream), rows32.reshape(n, -1))
     y_hat = codec._apply_loc(values.reshape(mu.shape), mu)

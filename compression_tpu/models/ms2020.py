@@ -511,23 +511,12 @@ class Codec:
     # decompress_batch auto-detects by field count.
 
     def _rans(self, N: int, K: int | None = None):
-        import os as _os
+        # Shared K heuristic / capacity formula / jit cache: one
+        # definition (device_coding.rans_for) for every family writing
+        # the device blob format.
+        from compression_tpu.models.device_coding import rans_for
 
-        if K is None:
-            K = int(_os.environ.get("TPC_RANS_K", "128"))
-            k_fit = 4
-            while k_fit * 2 <= max(4, N // 16) and k_fit * 2 <= K:
-                k_fit *= 2
-            K = k_fit
-        key = (N, K)
-        if key not in self._rans_cache:
-            from compression_tpu.codec import rans
-
-            cap = 3 * N + 2 * K + 64
-            enc = jax.jit(rans.make_rans_encoder(self.em.tables, K, cap))
-            dec = jax.jit(rans.make_rans_decoder(self.em.tables, K, N))
-            self._rans_cache[key] = (enc, dec, K, cap)
-        return self._rans_cache[key]
+        return rans_for(self, N, K)
 
     def _dispatch_encode_rans(self, images: np.ndarray):
         cfg = self.cfg
@@ -560,6 +549,13 @@ class Codec:
         streams, z_sym, hw, zshape, n, K = work
         cfg = self.cfg
         lengths = jax.device_get([s[1] for s in streams])
+        overflow = jax.device_get([s[2] for s in streams])
+        if bool(np.any(np.asarray(overflow))):
+            raise ValueError(
+                "rANS stream capacity exceeded in a CHARM slice "
+                "(pathological symbol statistics); use the host coder "
+                "for this input"
+            )
         z_sym = np.asarray(jax.device_get(z_sym))
         z_strings = self.side_em.compress_symbols(z_sym)
         slice_bytes = [
@@ -627,15 +623,13 @@ class Codec:
             mu, sigma = self._slice_params(i, mu_sup, sigma_sup, decoded)
             N = int(np.prod(mu.shape[1:]))
             _enc, dec, _K, _cap = self._rans(N, K)
-            cap = 1024
-            longest = max(len(wds) for wds in slice_words[i])
-            while cap < longest:
-                cap *= 2
-            stream = np.zeros((n, cap), np.uint16)
-            for b, wds in enumerate(slice_words[i]):
-                stream[b, : len(wds)] = wds
+            from compression_tpu.models.device_coding import pad_words
+
             rows32 = self.em.rows(sigma).astype(jnp.int32)
-            values, ok = dec(jnp.asarray(stream), rows32.reshape(n, -1))
+            values, ok = dec(
+                jnp.asarray(pad_words(slice_words[i])),
+                rows32.reshape(n, -1),
+            )
             ok_flags.append(ok)
             y_hat_i = self._apply_loc(values.reshape(mu.shape), mu)
             decoded.append(self._finish_slice(i, mu_sup, decoded, y_hat_i))

@@ -161,7 +161,6 @@ def sharded_signal_conv2d_up(x, kernel, mesh: Mesh, axis: str = "data",
             f"shard height {x.shape[1] // n_shards} smaller than the halo "
             f"({h_lo}, {h_hi})"
         )
-    P_total = int(np.prod(su))
     cout = kernel.shape[-1]
 
     def local(x_local, pk):

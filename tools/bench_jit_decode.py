@@ -19,10 +19,10 @@ import numpy as np
 def main():
     import jax
 
-    # Honor an explicit platform request (JAX_PLATFORMS=cpu smoke); the
-    # axon sitecustomize otherwise rewrites it to "axon,cpu" and a stray
-    # bench process would contend with the exclusive tunneled chip.
-    if os.environ.get("JAX_PLATFORMS"):
+    # Honor an explicit CPU-only request (JAX_PLATFORMS=cpu smoke); only
+    # that case is overridden — the ambient default keeps both backends
+    # registered since host-side work pins to the cpu backend.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
         try:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
