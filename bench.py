@@ -31,19 +31,17 @@ BASELINE_IMG_PER_S = 2.342
 def main():
     import os
 
-    import jax
+    # The tunnel environment pins JAX_PLATFORMS to the accelerator platform
+    # only (e.g. "axon"), which leaves the host CPU backend unregistered —
+    # but the bench pins init/host work to jax.local_devices(backend="cpu").
+    # Append "cpu" (keeping the accelerator first, so jax.devices() still
+    # selects the chip) BEFORE jax reads the env at import. An explicit
+    # JAX_PLATFORMS=cpu smoke run is left untouched.
+    _plats = os.environ.get("JAX_PLATFORMS")
+    if _plats and "cpu" not in [p.strip() for p in _plats.split(",")]:
+        os.environ["JAX_PLATFORMS"] = _plats + ",cpu"
 
-    # Honor an explicit CPU-only request (JAX_PLATFORMS=cpu smoke of the
-    # bench plumbing): the axon sitecustomize rewrites the env to
-    # "axon,cpu", which would otherwise initialize the tunneled TPU — and
-    # that chip is exclusive. Only the pure-cpu case is overridden: the
-    # ambient default must keep BOTH backends registered because host-side
-    # work pins to jax.local_devices(backend="cpu").
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    import jax
 
     from compression_tpu.util.cache import enable_compilation_cache
 

@@ -89,6 +89,12 @@ class TrainConfig:
     # (b2018's per-quality priors/gains must travel ~10x further than conv
     # kernels within the same step budget).
     lr_scales: Optional[tuple] = None
+    # Dihedral augmentation of each crop (flips + transpose, an 8-element
+    # orbit). On small train sets the mean-conditioned models otherwise
+    # memorize exact latent layouts (mu reproduces training images, then
+    # mispredicts held-out ones and the escape-coded residuals blow up the
+    # rate — see tools/make_synthetic_set.py). Square patches only.
+    augment: bool = True
 
 
 def _load_images(pattern: str, max_images: int = 2000):
@@ -123,7 +129,15 @@ def crop_dataset(cfg: TrainConfig) -> Iterator[np.ndarray]:
                 im = images[rng.randint(len(images))]
                 y = rng.randint(im.shape[0] - p + 1)
                 x = rng.randint(im.shape[1] - p + 1)
-                batch[b] = im[y : y + p, x : x + p].astype(np.float32) / 255.0
+                crop = im[y : y + p, x : x + p]
+                if cfg.augment:
+                    if rng.rand() < 0.5:
+                        crop = crop[::-1]
+                    if rng.rand() < 0.5:
+                        crop = crop[:, ::-1]
+                    if rng.rand() < 0.5:
+                        crop = crop.transpose(1, 0, 2)
+                batch[b] = crop.astype(np.float32) / 255.0
         yield batch
 
 

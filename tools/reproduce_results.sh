@@ -13,7 +13,7 @@ TFCI="python -m compression_tpu.cli.tfci"
 
 step() { echo "=== $* $(date -u +%H:%M:%S) ==="; }
 
-[ -d "$DATA/train" ] || python tools/make_synthetic_set.py "$DATA" 160
+[ "$(ls "$DATA/train" 2>/dev/null | wc -l)" -ge 160 ] || python tools/make_synthetic_set.py "$DATA" 160
 
 train_eval() {  # name steps [eval_csv_name]
   step "train $1 ($2 steps)"

@@ -28,7 +28,7 @@ R=results/synthetic
 step() { echo "=== $* $(date -u +%H:%M:%S) ==="; }
 try() { "$@" || echo "!!! FAILED ($*) — continuing"; }
 
-[ -d "$DATA/train" ] || python tools/make_synthetic_set.py "$DATA" 160
+[ "$(ls "$DATA/train" 2>/dev/null | wc -l)" -ge 160 ] || python tools/make_synthetic_set.py "$DATA" 160
 
 # ---- 0. re-evals on the fixed conv path --------------------------------
 step "re-eval bls2017 (fixed conv path)"
