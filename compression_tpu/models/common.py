@@ -154,6 +154,19 @@ def save_checkpoint(path: str, params, step: int, opt_state=None) -> None:
     state = {"params": params, "step": step}
     if opt_state is not None:
         state["opt_state"] = opt_state
+    # Fetch device arrays with one pipelined transfer wave, not leaf-by-leaf
+    # inside msgpack packing: to_bytes() would otherwise np.asarray() each of
+    # the hundreds of param/opt leaves synchronously, paying a full
+    # device->host round-trip latency per leaf — on a tunneled chip that
+    # turns a ~1 GB CHARM checkpoint into tens of minutes. Kicking off all
+    # copies async first makes the write bandwidth-bound instead.
+    for leaf in jax.tree_util.tree_leaves(state):
+        if hasattr(leaf, "copy_to_host_async"):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+    state = jax.device_get(state)
     blob = serialization.to_bytes(state)
     tmp = f"{path}.tmp{os.getpid()}"
     with open(tmp, "wb") as f:

@@ -17,7 +17,16 @@ __all__ = ["HificConfig", "get_config", "CONFIGS"]
 class HificConfig:
     name: str
     target_rate: float            # bpp target for the rate hinge
-    lambda_a: float = 0.1         # rate weight when bpp > target (push down)
+    # Rate-hinge arms (reference model.py rate targeting). The push-down
+    # arm must dominate the distortion pull whenever bpp > target, or the
+    # hinge never reaches its operating point: normalizing this loss by
+    # k_mse puts lambda_a's rate coefficient in bmshj2018-lambda units as
+    # lambda_a / (k_mse * 255^2-scale) — the old 0.1 was equivalent to a
+    # high-quality ~1 bpp operating point, which is why early checkpoints
+    # sat at 2.8 bpp with the hinge "on". 1.0 matches the rate pressure of
+    # a sub-0.14-bpp codec; lambda_b keeps the relax arm's equilibrium
+    # above target so the hinge pins bpp AT the target from below.
+    lambda_a: float = 1.0         # rate weight when bpp > target (push down)
     lambda_b: float = 2.0 ** -4   # rate weight when bpp <= target (relax)
     k_mse: float = 0.075 * 2.0 ** -5
     k_lpips: float = 1.0
