@@ -85,15 +85,24 @@ def main():
         )
 
     # A random-init model floods the range coder's escape path (every
-    # symbol out of range), understating real throughput ~2x. Briefly
-    # train once so symbol statistics look like a real codec's; the
-    # checkpoint is cached so only the first-ever bench run pays this.
+    # symbol out of range), understating real throughput ~2x. Prefer the
+    # REAL product checkpoint (tfci-trained bmshj2018) when one exists so
+    # symbol statistics are a trained codec's; otherwise briefly train once
+    # and cache (only the first-ever bench run on a host pays this).
+    from compression_tpu.cli import registry
+    from compression_tpu.models import common
+
     ckpt = (
         "/tmp/tpc_bench_ckpt_tiny.msgpack" if tiny
         else "/tmp/tpc_bench_ckpt.msgpack"
     )
-    from compression_tpu.models import common
+    if not tiny:
+        product = os.path.join(registry.model_dir(), "bmshj2018.msgpack")
+        if os.path.exists(product):
+            ckpt = product
+    import sys as _sys
 
+    print(f"bench checkpoint: {ckpt}", file=_sys.stderr)
     if os.path.exists(ckpt):
         params, _ = common.load_checkpoint(ckpt, params)
     else:
