@@ -1,11 +1,12 @@
 #!/bin/bash
-# Insurance eval for the resumed ms2020 16000-step retrain: the round may
-# end at any driver tick, so as soon as each periodic checkpoint lands
-# (checkpoint-every 4000), promote it and evaluate ON CPU (never contending
-# for the exclusive chip), committing the row to ms2020-interim.csv — a
-# separate file from the chip queue's final ms2020.csv, so a slow CPU eval
-# finishing late can never clobber the real row. Promotion also guarantees
-# a valid ms2020.msgpack exists for bench/CLI if the round is cut mid-train.
+# Insurance for the resumed ms2020 16000-step retrain: the round may end at
+# any driver tick, so as soon as each periodic checkpoint lands
+# (checkpoint-every 4000), promote it to the eval name. That guarantees a
+# valid ms2020.msgpack exists for bench/CLI/the final eval even if the round
+# is cut mid-train. NOTE: this host has ONE CPU core — an interim CPU eval
+# of the 114M-param CHARM was measured counterproductive (hours of wall
+# time that starve the trainer's host input pipeline), so this watcher
+# promotes only; all evals belong to the chip queue.
 #   setsid nohup bash tools/ms2020_interim_cpu_eval.sh > /tmp/ms2020_interim.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
@@ -26,12 +27,8 @@ for i in $(seq 1 400); do
   M=$(stat -c %Y "$SRC" 2>/dev/null || echo 0)
   if [ "$M" -gt "$SEEN_MTIME" ]; then
     SEEN_MTIME=$M
-    echo "=== new periodic ms2020 checkpoint (mtime $M); promoting + CPU eval $(date -u +%H:%M:%S) ==="
+    echo "=== new periodic ms2020 checkpoint (mtime $M); promoting $(date -u +%H:%M:%S) ==="
     python tools/promote_train_ckpt.py ms2020 --force || continue
-    timeout 7200 python -m compression_tpu.cli.tfci eval ms2020 \
-      "$DATA/eval/*.png" --csv "$R/ms2020-interim.csv" || { echo "!!! eval failed"; continue; }
-    git add "$R/ms2020-interim.csv" && git diff --cached --quiet || \
-      git commit -q -m "results: interim ms2020 CPU eval row (periodic checkpoint)" || true
-    echo "=== row committed $(date -u +%H:%M:%S) ==="
+    echo "=== promoted $(date -u +%H:%M:%S) ==="
   fi
 done
