@@ -20,7 +20,8 @@ SEEN_MTIME=$(stat -c %Y "$SRC" 2>/dev/null || echo 0)  # skip the step-4000 save
 for i in $(seq 1 400); do
   sleep 60
   # Once the trainer exits, the chip queue owns promotion + the final eval.
-  if ! pgrep -f "tfci train ms2020 " >/dev/null 2>&1; then
+  TRAIN_PID=$(cat /tmp/ms2020_train.pid 2>/dev/null || echo "")
+  if [ -z "$TRAIN_PID" ] || ! kill -0 "$TRAIN_PID" 2>/dev/null; then
     echo "trainer exited; final eval belongs to the chip queue — stopping"
     break
   fi

@@ -33,8 +33,11 @@ ckpt_commit() { # commit result CSVs for $1 with message $2
 }
 
 # ---- 1. ms2020 main: wait, promote, eval ----------------------------------
+# Wait on the trainer's pid file (pattern-matching process names is banned
+# session policy and fragile anyway).
 step "waiting for the ms2020 trainer to release the chip"
-while pgrep -f "tfci train ms2020 " >/dev/null 2>&1; do sleep 60; done
+TRAIN_PID=$(cat /tmp/ms2020_train.pid 2>/dev/null || echo "")
+while [ -n "$TRAIN_PID" ] && kill -0 "$TRAIN_PID" 2>/dev/null; do sleep 60; done
 sleep 10
 try python tools/promote_train_ckpt.py ms2020 --force
 step "eval ms2020"
