@@ -135,7 +135,7 @@ def crop_dataset(cfg: TrainConfig) -> Iterator[np.ndarray]:
                         crop = crop[::-1]
                     if rng.rand() < 0.5:
                         crop = crop[:, ::-1]
-                    if rng.rand() < 0.5:
+                    if crop.shape[0] == crop.shape[1] and rng.rand() < 0.5:
                         crop = crop.transpose(1, 0, 2)
                 batch[b] = crop.astype(np.float32) / 255.0
         yield batch
