@@ -206,6 +206,11 @@ def make_train_steps(
     )
 
     def joint_step(g_params, d_vars, g_opt, d_opt, batch, rng, pmean_axis=None):
+        if batch.dtype == jnp.uint8:
+            # uint8-on-the-wire batches (models/common.crop_dataset):
+            # normalize on-device, identical math to host-side /255.
+            batch = batch.astype(jnp.float32) / 255.0
+
         def _reduce(t):
             return (
                 jax.lax.pmean(t, pmean_axis) if pmean_axis is not None else t

@@ -11,6 +11,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from compression_tpu.models import common
 from compression_tpu.models.hific import archs
@@ -27,7 +28,10 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig):
     lpips_model, lpips_params = make_lpips(train_cfg.patch_size)
 
     data = common.crop_dataset(train_cfg)
-    batch0 = jnp.asarray(next(data))
+    batch0 = np.asarray(next(data))
+    if batch0.dtype == np.uint8:  # init traces want the model's float input
+        batch0 = batch0.astype(np.float32) / 255.0
+    batch0 = jnp.asarray(batch0)
     rng = jax.random.PRNGKey(train_cfg.seed)
     rng, g_rng, d_rng = jax.random.split(rng, 3)
     g_params = model.init(g_rng, batch0, jax.random.PRNGKey(1), training=True)

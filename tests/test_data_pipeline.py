@@ -54,21 +54,21 @@ def test_augmented_full_image_crops_stay_in_dihedral_orbit(tmp_path):
         train_glob=glob, batch_size=4, patch_size=32, seed=11, augment=True
     )
     sources = [
-        image_util.read_png(str(tmp_path / f"{i}.png")).astype(np.float32)
-        / 255.0
-        for i in range(3)
+        image_util.read_png(str(tmp_path / f"{i}.png")) for i in range(3)
     ]
     orbits = [v for s in sources for v in _dihedral_orbit(s)]
     it = crop_dataset(cfg)
     seen_nonidentity = False
     for _ in range(6):
         batch = next(it)
+        # Image-backed batches travel as uint8 (normalized on-device).
+        assert batch.dtype == np.uint8
         for crop in batch:
-            matches = [np.allclose(crop, v) for v in orbits]
+            matches = [np.array_equal(crop, v) for v in orbits]
             assert any(matches), "crop is not a dihedral variant of any source"
             # Identity variants sit at orbit indices 0 (per source).
             identity = any(
-                np.allclose(crop, s) for s in sources
+                np.array_equal(crop, s) for s in sources
             )
             seen_nonidentity |= not identity
     assert seen_nonidentity, "augmentation never produced a reoriented crop"
@@ -81,11 +81,10 @@ def test_augment_false_reproduces_plain_crops(tmp_path):
         train_glob=glob, batch_size=8, patch_size=32, seed=5, augment=False
     )
     sources = [
-        image_util.read_png(str(tmp_path / f"{i}.png")).astype(np.float32)
-        / 255.0
-        for i in range(2)
+        image_util.read_png(str(tmp_path / f"{i}.png")) for i in range(2)
     ]
     batch = next(crop_dataset(cfg))
+    assert batch.dtype == np.uint8
     for crop in batch:
         found = False
         for s in sources:
