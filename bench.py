@@ -28,6 +28,29 @@ import numpy as np
 BASELINE_IMG_PER_S = 2.342
 
 
+def pick_checkpoint(tiny: bool) -> str:
+    """Measured-checkpoint selection, in preference order: the product
+    checkpoint in the model cache; the repo-committed fallback (VM rebuilds
+    wipe everything outside the repo, and the driver's round-end bench must
+    still measure a *trained* codec's symbol statistics); else a path whose
+    absence triggers the 60-step quick-train."""
+    import os
+
+    if tiny:
+        return "/tmp/tpc_bench_ckpt_tiny.msgpack"
+    from compression_tpu.cli import registry
+
+    product = os.path.join(registry.model_dir(), "bmshj2018.msgpack")
+    if os.path.exists(product):
+        return product
+    repo_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ckpt", "bmshj2018.msgpack"
+    )
+    if os.path.exists(repo_ckpt):
+        return repo_ckpt
+    return "/tmp/tpc_bench_ckpt.msgpack"
+
+
 def main():
     import os
 
@@ -89,17 +112,9 @@ def main():
     # REAL product checkpoint (tfci-trained bmshj2018) when one exists so
     # symbol statistics are a trained codec's; otherwise briefly train once
     # and cache (only the first-ever bench run on a host pays this).
-    from compression_tpu.cli import registry
     from compression_tpu.models import common
 
-    ckpt = (
-        "/tmp/tpc_bench_ckpt_tiny.msgpack" if tiny
-        else "/tmp/tpc_bench_ckpt.msgpack"
-    )
-    if not tiny:
-        product = os.path.join(registry.model_dir(), "bmshj2018.msgpack")
-        if os.path.exists(product):
-            ckpt = product
+    ckpt = pick_checkpoint(tiny)
     import sys as _sys
 
     print(f"bench checkpoint: {ckpt}", file=_sys.stderr)

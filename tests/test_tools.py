@@ -117,3 +117,28 @@ def test_synthetic_set_is_seed_stable():
     assert a.dtype == np.uint8 and a.shape == (64, 48, 3)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_bench_checkpoint_preference_order(tmp_path, monkeypatch):
+    """bench.py measures: product cache ckpt > repo-committed fallback >
+    quick-train path. The fallback exists because VM rebuilds wipe the
+    model cache and the driver's round-end bench must still see a trained
+    codec's symbol statistics."""
+    import bench
+
+    monkeypatch.setenv("TPC_MODEL_DIR", str(tmp_path / "nothing_here"))
+    repo_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)),
+        "ckpt", "bmshj2018.msgpack",
+    )
+    expected = (
+        repo_ckpt if os.path.exists(repo_ckpt) else "/tmp/tpc_bench_ckpt.msgpack"
+    )
+    assert bench.pick_checkpoint(False) == expected
+
+    (tmp_path / "cache").mkdir()
+    product = tmp_path / "cache" / "bmshj2018.msgpack"
+    product.write_bytes(b"x")
+    monkeypatch.setenv("TPC_MODEL_DIR", str(tmp_path / "cache"))
+    assert bench.pick_checkpoint(False) == str(product)
+    assert bench.pick_checkpoint(True).endswith("tiny.msgpack")
