@@ -142,3 +142,35 @@ def test_bench_checkpoint_preference_order(tmp_path, monkeypatch):
     monkeypatch.setenv("TPC_MODEL_DIR", str(tmp_path / "cache"))
     assert bench.pick_checkpoint(False) == str(product)
     assert bench.pick_checkpoint(True).endswith("tiny.msgpack")
+
+
+def test_rd_report_bd_psnr_recovers_known_offset(tmp_path):
+    """Two synthetic curves offset by exactly 1.5 dB at every rate must
+    report BD-PSNR = +1.5; single-point families report no pair."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.rd_report import bd_psnr, collect, read_mean_row
+
+    def write(stem, rows):
+        p = tmp_path / f"{stem}.csv"
+        lines = ["image,bpp,psnr,msssim"]
+        for i, (bpp, psnr) in enumerate(rows):
+            lines.append(f"{i}.png,{bpp},{psnr},0.9")
+        mb = np.mean([r[0] for r in rows])
+        mp = np.mean([r[1] for r in rows])
+        lines.append(f"mean,{mb},{mp},0.9")
+        p.write_text("\n".join(lines) + "\n")
+
+    # Family curves as separate csvs (one mean point each).
+    for q, bpp in enumerate((0.1, 0.2, 0.4, 0.8), 1):
+        psnr = 20 + 5 * np.log10(bpp / 0.1)
+        write(f"ms2020-q{q}", [(bpp, psnr + 1.5)])
+        write(f"mbt2018-q{q}", [(bpp, psnr)])
+    fams = collect(str(tmp_path))
+    assert len(fams["ms2020"]) == 4 and len(fams["mbt2018"]) == 4
+    d = bd_psnr(fams["ms2020"], fams["mbt2018"])
+    assert abs(d - 1.5) < 1e-6
+    # Parser sanity.
+    bpp, psnr, ms = read_mean_row(str(tmp_path / "ms2020-q1.csv"))
+    assert abs(bpp - 0.1) < 1e-9 and ms == 0.9
