@@ -157,6 +157,54 @@ def main():
     out = codec.decompress_batch(blobs)
     assert out.shape == images.shape
 
+    # TPC_BENCH_MODE=latency: single-image serving latency (batch 1, no
+    # pipelining) instead of the default batched-throughput metric — the
+    # reference's CLI use case is one image per invocation, so p50 encode
+    # and decode latency is the serving-side complement to img/s. Prints
+    # the same one-JSON-line contract with a latency metric name.
+    if os.environ.get("TPC_BENCH_MODE") == "latency":
+        one = images[:1]
+        lat_results = {}
+        for coder in ["host", "device"]:
+            try:
+                warm = list(codec.compress_iter(iter([one]), depth=1, coder=coder))
+                list(codec.decompress_iter(iter(warm), depth=1))
+                enc_ms, dec_ms = [], []
+                for _ in range(3 if tiny else 10):
+                    t0 = time.perf_counter()
+                    blobs = list(
+                        codec.compress_iter(iter([one]), depth=1, coder=coder)
+                    )
+                    t1 = time.perf_counter()
+                    out = list(codec.decompress_iter(iter(blobs), depth=1))
+                    t2 = time.perf_counter()
+                    assert out[0].shape == one.shape
+                    enc_ms.append((t1 - t0) * 1e3)
+                    dec_ms.append((t2 - t1) * 1e3)
+                p50 = float(np.median(enc_ms) + np.median(dec_ms))
+                print(
+                    f"latency coder={coder}: enc p50 {np.median(enc_ms):.1f} ms, "
+                    f"dec p50 {np.median(dec_ms):.1f} ms",
+                    file=sys.stderr,
+                )
+                lat_results[coder] = p50
+            except Exception as e:
+                print(f"latency coder {coder!r} failed: {e!r}", file=sys.stderr)
+        if not lat_results:
+            raise SystemExit("no coder path completed")
+        best = min(lat_results, key=lat_results.get)
+        print(
+            json.dumps(
+                {
+                    "metric": "bmshj2018_single_image_latency_p50",
+                    "value": round(lat_results[best], 1),
+                    "unit": "ms encode+decode (768x512, batch 1)",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
+
     rounds = 3 if tiny else 6
     # Coder selection for the measured encode: "host" = native C++ range
     # coder fed by a symbols+rows fetch; "device" = on-TPU rANS

@@ -22,6 +22,11 @@
 #   echo $! > /tmp/r3rb2.pid
 set -u
 cd "$(dirname "$0")/.."
+# Single-instance guard + real-pid file (setsid forks: $! in the launching
+# shell is NOT this bash's pid — that mistake double-ran this queue once).
+exec 9>/tmp/r3rb2.lock
+flock -n 9 || { echo "another rebuild queue holds the lock; exiting"; exit 1; }
+echo $$ > /tmp/r3rb2.pid
 export PYTHONUNBUFFERED=1
 # Fresh VMs lose the editable install; make imports independent of it.
 export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
