@@ -58,6 +58,20 @@ if [ "$NTRAIN" -ne 640 ]; then
   try python tools/make_synthetic_set.py "$DATA" 640
 fi
 
+# ---- 0. ms2020 generalization evidence (seen vs fresh-seed) -------------------
+# The 0.089 bpp / 36.96 dB headline needs the memorization question answered
+# directly: eval the same checkpoint on 4 NEVER-used generator seeds and on 4
+# seen training images. Generalization = the three sets (frozen eval, fresh,
+# seen) agree; memorization = seen >> unseen (the round-3 signature was a 12x
+# rate blow-up).
+if [ -f "$TPC_MODEL_DIR/ms2020.msgpack" ] && [ "$(left)" -gt 1800 ]; then
+  step "ms2020 generalization check"
+  try python tools/gen_fresh_eval.py /tmp/tpc_gen 10000
+  try timeout 1200 $TFCI eval ms2020 "/tmp/tpc_gen/fresh*.png" --csv $R/ms2020-genfresh.csv
+  try timeout 1200 $TFCI eval ms2020 "$DATA/train/00[0-3].png" --csv $R/ms2020-genseen.csv
+  row_commit "results: ms2020 generalization evidence (fresh-seed + seen-image evals)"
+fi
+
 # ---- 4-5b. family curve anchors on the 640 set -------------------------------
 if [ "$(left)" -gt 7200 ]; then
   rm -f "$TPC_MODEL_DIR/mbt2018.msgpack"   # force fresh 640-set anchor
