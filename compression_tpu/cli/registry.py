@@ -134,7 +134,32 @@ def _ms2020(lmbda: float = 0.01, name: Optional[str] = None,
     )
 
 
-def _b2018(activation: str, base: str):
+def _bmshj2018_factorized(lmbda: float = 0.01, name: Optional[str] = None,
+         distortion: str = "mse"):
+    """bmshj2018's factorized-prior baseline: the 4x 5x5/2 transform pair
+    with a DeepFactorized prior directly on y, no hyperprior (reference zoo
+    `bmshj2018-factorized-*`, models/tfci.py model list)."""
+    from compression_tpu.models import bls2017
+
+    kw = dict(num_filters=192, num_latents=192)
+    kw.update(_filter_kwargs(bls2017.Config, _tiny_overrides()))
+    cfg = bls2017.Config(
+        lmbda=lmbda, distortion=distortion, arch="bmshj2018",
+        model_name="bmshj2018-factorized", **kw,
+    )
+    if name:
+        cfg = dataclasses.replace(cfg, model_name=name)
+    return ModelEntry(
+        "bls2017",
+        lambda: bls2017.BLS2017Model(cfg),
+        bls2017.compress,
+        bls2017.decompress,
+        "factorized prior over bmshj2018 transforms (Ballé et al. 2018)",
+        config=cfg,
+    )
+
+
+def _b2018(activation: str, base: str, num_filters: int = 128):
     """Variable-rate family: ONE checkpoint serves all rate points; the
     quality suffix selects a runtime conditioning input, not a separate
     per-lambda checkpoint (reference: models/tfci.py b2018-* models +
@@ -143,11 +168,9 @@ def _b2018(activation: str, base: str):
     def make(quality, name: Optional[str] = None) -> ModelEntry:
         from compression_tpu.models import b2018
 
-        cfg = b2018.Config(
-            activation=activation,
-            model_name=base,
-            **_filter_kwargs(b2018.Config, _tiny_overrides()),
-        )
+        kw = dict(num_filters=num_filters)
+        kw.update(_filter_kwargs(b2018.Config, _tiny_overrides()))
+        cfg = b2018.Config(activation=activation, model_name=base, **kw)
         # First positional arg is the runtime quality for this family; other
         # callers (cmd_models listing) pass a lambda-shaped float — ignore it.
         if quality and isinstance(quality, int):
@@ -228,8 +251,17 @@ REGISTRY: Dict[str, Callable[..., ModelEntry]] = {
     "hific-lo": _hific("hific-lo"),
     "hific-mi": _hific("hific-mi"),
     "hific-hi": _hific("hific-hi"),
+    "bmshj2018-factorized-mse": _bmshj2018_factorized,
+    "bmshj2018-factorized-msssim": _ft.partial(
+        _bmshj2018_factorized, distortion="msssim"
+    ),
+    "bmshj2018-factorized": _bmshj2018_factorized,
     "b2018-gdn-128": _b2018("gdn", "b2018-gdn-128"),
     "b2018-leaky_relu-128": _b2018("leaky_relu", "b2018-leaky_relu-128"),
+    "b2018-gdn-192": _b2018("gdn", "b2018-gdn-192", num_filters=192),
+    "b2018-leaky_relu-192": _b2018(
+        "leaky_relu", "b2018-leaky_relu-192", num_filters=192
+    ),
     # Short aliases.
     "bls2017": _bls2017,
     "bmshj2018": _bmshj2018,
@@ -240,7 +272,10 @@ REGISTRY: Dict[str, Callable[..., ModelEntry]] = {
 
 # Families whose quality suffix is a RUNTIME input to one shared checkpoint
 # (everything else resolves a quality suffix to its own per-lambda ckpt).
-VARIABLE_RATE = {"b2018-gdn-128", "b2018-leaky_relu-128", "b2018"}
+VARIABLE_RATE = {
+    "b2018-gdn-128", "b2018-leaky_relu-128",
+    "b2018-gdn-192", "b2018-leaky_relu-192", "b2018",
+}
 
 # Alias -> canonical checkpoint stem: `tfci train b2018` and
 # `tfci compress b2018-gdn-128-2` must hit the SAME checkpoint file (the

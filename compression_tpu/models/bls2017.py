@@ -39,6 +39,17 @@ class Config:
     coding_rank: int = 3
     model_name: str = "bls2017"
     downscale: int = 16  # total downsampling of the analysis transform
+    # "bls2017": 9x9/4 + 2x 5x5/2 transforms (Ballé 2017).
+    # "bmshj2018": the 4x 5x5/2 transform pair from the bmshj2018 paper with
+    # the same factorized prior — the reference zoo's
+    # `bmshj2018-factorized-*` family (reference: models/tfci.py model list;
+    # bmshj2018 paper's factorized-prior baseline).
+    arch: str = "bls2017"
+    num_latents: int = 0  # bmshj2018 arch: channels of y; 0 = num_filters
+
+    @property
+    def latent_channels(self) -> int:
+        return self.num_latents or self.num_filters
 
 
 class AnalysisTransform(nn.Module):
@@ -96,9 +107,20 @@ class BLS2017Model(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.analysis = AnalysisTransform(cfg.num_filters)
-        self.synthesis = SynthesisTransform(cfg.num_filters)
-        self.prior = DeepFactorizedPrior(batch_shape=(cfg.num_filters,))
+        if cfg.arch == "bmshj2018":
+            # Factorized-prior baseline over the bmshj2018 transforms
+            # (reference zoo `bmshj2018-factorized-*`). Same 16x total
+            # downsampling, so the codec padding arithmetic is unchanged.
+            from compression_tpu.models import bmshj2018 as _b
+
+            self.analysis = _b.AnalysisTransform(
+                cfg.num_filters, cfg.latent_channels
+            )
+            self.synthesis = _b.SynthesisTransform(cfg.num_filters)
+        else:
+            self.analysis = AnalysisTransform(cfg.num_filters)
+            self.synthesis = SynthesisTransform(cfg.num_filters)
+        self.prior = DeepFactorizedPrior(batch_shape=(cfg.latent_channels,))
 
     def __call__(self, x, rng, training: bool = True):
         """Train/eval forward pass: returns (x_hat, bits_per_image)."""
@@ -231,6 +253,10 @@ def sharded_analyze(model: BLS2017Model, params, x, mesh, axis: str = "data"):
     from compression_tpu.layers import GDN
     from compression_tpu.parallel.spatial import sharded_signal_conv2d
 
+    if model.config.arch != "bls2017":
+        raise NotImplementedError(
+            "sharded_analyze carries the bls2017 transform geometry only"
+        )
     p = params["params"]["analysis"]
     x = jnp.asarray(x, p["conv0"]["kernel"].dtype)  # match param dtype
     strides = (4, 2, 2)
@@ -261,6 +287,10 @@ def sharded_synthesize(model: BLS2017Model, params, y_hat, mesh,
     from compression_tpu.layers import GDN
     from compression_tpu.parallel.spatial import sharded_signal_conv2d_up
 
+    if model.config.arch != "bls2017":
+        raise NotImplementedError(
+            "sharded_synthesize carries the bls2017 transform geometry only"
+        )
     p = params["params"]["synthesis"]
     y = jnp.asarray(y_hat, p["conv0"]["kernel"].dtype)
     strides = (2, 2, 4)

@@ -124,6 +124,34 @@ def test_registry_propagates_requested_name():
     assert cfg.name == "hific-lo"
 
 
+def test_bmshj2018_factorized_roundtrip(cli_env, monkeypatch):
+    """The reference zoo's bmshj2018-factorized-* family: bmshj transforms
+    with a factorized prior, no hyperprior (reference models/tfci.py model
+    list). Round-trips through the bls2017 codec path."""
+    import jax
+    import numpy as np
+
+    from compression_tpu.cli import registry
+
+    entry, _ = registry.resolve("bmshj2018-factorized-mse-3")
+    assert entry.config.model_name == "bmshj2018-factorized-mse-3"
+    assert entry.config.arch == "bmshj2018"
+    model = entry.make_model()
+    img = (np.random.RandomState(0).rand(64, 48, 3) * 255).astype(np.uint8)
+    x = np.zeros((1, 64, 48, 3), np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), training=True
+    )
+    out = entry.decompress(model, params, entry.compress(model, params, img))
+    assert out.shape == img.shape
+    # The 192-filter b2018 variants resolve and stay variable-rate.
+    entry, _ = registry.resolve("b2018-gdn-192-2")
+    assert entry.config.model_name == "b2018-gdn-192-2"
+    assert entry.config.quality == 2
+    entry, _ = registry.resolve("b2018-leaky_relu-192-1")
+    assert entry.config.activation == "leaky_relu"
+
+
 def test_full_cycle_alias_name_roundtrip(cli_env):
     """Advisor repro: train via alias 'bmshj2018' -> compress -> decompress
     must resolve back to the same checkpoint (packed name == alias)."""

@@ -231,7 +231,19 @@ def convert_bls2017(ref: RefVars) -> dict:
     return {"params": p}
 
 
-def _hyperprior_transforms(ref):
+def convert_bmshj2018_factorized(ref: RefVars) -> dict:
+    """bmshj2018's factorized-prior baseline: the four-conv transform pair
+    with a DeepFactorized prior directly on y (reference zoo
+    `bmshj2018-factorized-*`; models/tfci.py model list). Destination is
+    BLS2017Model with arch="bmshj2018"."""
+    analysis, synthesis, _ = _hyperprior_transforms(ref, hyper=False)
+    return {"params": {
+        "analysis": analysis, "synthesis": synthesis,
+        "prior": {"deep_factorized": prior_from_ref(ref, "entropy_model")},
+    }}
+
+
+def _hyperprior_transforms(ref, hyper: bool = True):
     """The four-conv analysis/synthesis shared by bmshj2018/mbt2018/ms2020."""
     analysis = _transform(
         ref, "analysis",
@@ -247,6 +259,8 @@ def _hyperprior_transforms(ref):
         [("igdn0", "layer_0", "igdn_0"), ("igdn1", "layer_1", "igdn_1"),
          ("igdn2", "layer_2", "igdn_2")],
     )
+    if not hyper:
+        return analysis, synthesis, None
     hyper_analysis = _transform(
         ref, "hyper_analysis",
         [("conv0", "layer_0", True), ("conv1", "layer_1", True),
@@ -386,6 +400,7 @@ def convert_hific(ref: RefVars, num_residual_blocks: int = 9) -> dict:
 FAMILIES = {
     "bls2017": convert_bls2017,
     "bmshj2018": convert_bmshj2018,
+    "bmshj2018_factorized": convert_bmshj2018_factorized,
     "mbt2018": convert_mbt2018,
     "ms2020": convert_ms2020,
     "hific": convert_hific,
@@ -467,6 +482,24 @@ def make_template(family: str, **cfg_overrides):
         )
     import importlib
 
+    if family == "bmshj2018_factorized":
+        from compression_tpu.models import bls2017
+
+        kw = dict(num_filters=192, num_latents=192)
+        kw.update({
+            k: v for k, v in cfg_overrides.items()
+            if k in {f.name for f in dc.fields(bls2017.Config)}
+        })
+        cfg = bls2017.Config(
+            arch="bmshj2018", model_name="bmshj2018-factorized", **kw
+        )
+        model = bls2017.BLS2017Model(cfg)
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        return jax.tree_util.tree_map(
+            np.asarray,
+            model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1),
+                       training=True),
+        )
     mod = importlib.import_module(f"compression_tpu.models.{family}")
     cfg = mod.Config(**cfg_overrides)
     model = getattr(mod, f"{family.upper()}Model", None) or getattr(

@@ -99,6 +99,7 @@ _HIFIC_RULES = [
 RULES = {
     "bls2017": _COMMON_RULES,
     "bmshj2018": _COMMON_RULES,
+    "bmshj2018_factorized": _COMMON_RULES,
     "mbt2018": _COMMON_RULES,
     "ms2020": _COMMON_RULES + _MS2020_RULES,
     "hific": _COMMON_RULES + _HIFIC_RULES,
