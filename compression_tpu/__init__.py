@@ -52,6 +52,11 @@ from compression_tpu.entropy_models import (
     UniversalBatchedEntropyModel,
     UniversalIndexedEntropyModel,
 )
+from compression_tpu.codec.host import (
+    pmf_to_quantized_cdf,
+    run_length_gamma_decode,
+    run_length_gamma_encode,
+)
 from compression_tpu.layers import (
     GDN,
     Round,
@@ -62,6 +67,18 @@ from compression_tpu.layers import (
     SoftRoundConditionalMean,
     identity_kernel_init,
 )
+from compression_tpu.layers.parameters import (
+    nonneg_apply,
+    nonneg_init,
+    rdft_apply,
+    rdft_basis,
+    rdft_init,
+)
+
+# Reference-API alias (tfc.IdentityInitializer; reference:
+# python/layers/initializers.py ≈1-45). The functional spelling is
+# canonical here — flax passes initializer *functions*, not objects.
+IdentityInitializer = identity_kernel_init
 from compression_tpu.ops.math_ops import (
     lower_bound,
     perturb_and_apply,
