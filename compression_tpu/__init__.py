@@ -68,6 +68,9 @@ from compression_tpu.layers import (
     identity_kernel_init,
 )
 from compression_tpu.layers.parameters import (
+    GDNParameter,
+    Parameter,
+    RDFTParameter,
     nonneg_apply,
     nonneg_init,
     rdft_apply,

@@ -218,10 +218,9 @@ def make_rans_decoder(tables, K: int, N: int):
             f, c = t.freq_cum(r, m)
             x1 = f * (x >> P) + slot - c
             need = valid & (x1 < _L)
-            xw, p = read(
-                jnp.where(valid, x1, x), p, need, x1
-            )
-            x = jnp.where(need, xw, jnp.where(valid, x1, x))
+            # read() already selects between the renormed word-read and its
+            # input (which is x1-where-valid) per `need`.
+            x, p = read(jnp.where(valid, x1, x), p, need, x1)
             esc = valid & (m == E)
             # lo pop (always reads when active)
             b_lo = (x & _M16)

@@ -183,11 +183,7 @@ def rans_decode(data: bytes, rows, tables, K: int, n: int) -> np.ndarray:
                         e = (b << 16) | lo
                         s = E + e // 2 if e % 2 == 0 else -((e + 1) // 2)
                         out[j] = s
-        for k in range(K):
-            j = t * K + k
-            if j >= n or esc_flags.get(k, False):
-                continue
-            pass  # in-range symbols already hold s == m
+        # (in-range symbols already hold s == m from the main pop)
     if not np.all(x == _L):
         raise ValueError("rANS stream integrity check failed")
     return (out + tables.cdf_offset[rows]).astype(np.int32)

@@ -3,6 +3,9 @@
 from compression_tpu.layers.gdn import GDN
 from compression_tpu.layers.initializers import identity_kernel_init
 from compression_tpu.layers.parameters import (
+    GDNParameter,
+    Parameter,
+    RDFTParameter,
     nonneg_apply,
     nonneg_init,
     rdft_apply,
@@ -25,6 +28,9 @@ from compression_tpu.layers.soft_round import (
 
 __all__ = [
     "GDN",
+    "GDNParameter",
+    "Parameter",
+    "RDFTParameter",
     "identity_kernel_init",
     "nonneg_apply",
     "nonneg_init",

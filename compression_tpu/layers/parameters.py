@@ -106,3 +106,87 @@ def rdft_apply(coeffs, basis: np.ndarray, support: tuple):
     b = jnp.asarray(basis, dtype=coeffs.dtype)
     flat = jnp.einsum("kn,kio->nio", b, coeffs)
     return flat.reshape(tuple(support) + coeffs.shape[-2:])
+
+
+# -- Class-style wrappers (reference API names) -------------------------------
+#
+# The reference exposes these as tf.Module objects (`tfc.Parameter`,
+# `tfc.GDNParameter`, `tfc.RDFTParameter` — reference layers/parameters.py)
+# that recompute the effective weight on every read. The JAX-idiomatic core
+# above is the pair of pure functions; these thin classes carry the stored
+# leaf + static config as registered pytrees, so they pass through
+# jit/grad/optax like any other parameter while presenting the familiar
+# call-to-read API. The *stored* array is the trainable leaf.
+
+import dataclasses
+
+import jax
+
+
+class Parameter:
+    """Protocol: a reparameterized trainable; ``__call__`` reads the
+    effective value (reference layers/parameters.py `Parameter`)."""
+
+    def __call__(self):
+        raise NotImplementedError
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GDNParameter(Parameter):
+    """Sqrt-space nonnegative parameter (reference `GDNParameter`).
+
+    ``GDNParameter.create(initial, minimum)`` maps an effective value into
+    storage space; calling the instance reads back the effective value with
+    the >= minimum projection and `identity_if_towards` gradients.
+    """
+
+    stored: jnp.ndarray
+    minimum: float = 0.0
+
+    @classmethod
+    def create(cls, initial_value, minimum: float = 0.0):
+        return cls(nonneg_init(initial_value), minimum)
+
+    def __call__(self):
+        return nonneg_apply(self.stored, self.minimum)
+
+    def tree_flatten(self):
+        return (self.stored,), self.minimum
+
+    @classmethod
+    def tree_unflatten(cls, minimum, leaves):
+        return cls(leaves[0], minimum)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RDFTParameter(Parameter):
+    """Conv kernel stored as real-DFT coefficients (reference
+    `RDFTParameter`). ``create`` projects an effective ``(*support, cin,
+    cout)`` kernel into coefficient space; calling reads the kernel back
+    through the inverse transform."""
+
+    coeffs: jnp.ndarray
+    support: tuple
+
+    @classmethod
+    def create(cls, kernel):
+        kernel = jnp.asarray(kernel)
+        support = tuple(int(s) for s in kernel.shape[:-2])
+        basis = rdft_basis(int(np.prod(support)))
+        return cls(rdft_init(kernel, basis), support)
+
+    def __call__(self):
+        basis = rdft_basis(int(np.prod(self.support)))
+        return rdft_apply(self.coeffs, basis, self.support)
+
+    def tree_flatten(self):
+        return (self.coeffs,), self.support
+
+    @classmethod
+    def tree_unflatten(cls, support, leaves):
+        return cls(leaves[0], support)
+
+
+__all__ += ["Parameter", "GDNParameter", "RDFTParameter"]

@@ -386,13 +386,9 @@ class Codec:
 
     @staticmethod
     def _pad_np(images: np.ndarray, multiple: int):
-        h, w = images.shape[1], images.shape[2]
-        hp, wp = -h % multiple, -w % multiple
-        if hp or wp:
-            images = np.pad(
-                images, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="edge"
-            )
-        return images, (h, w)
+        # Shared host-side pad (util.image); kept as a staticmethod alias
+        # because every codec family's dispatch stage calls it.
+        return image_util.pad_to_multiple_np(images, multiple)
 
     # -- encode pipeline stages ---------------------------------------------
 
@@ -458,17 +454,10 @@ class Codec:
     def _dispatch_decode(self, blobs: list) -> _DecodeWork:
         """First stage: parse blobs, host-decode z (small, fast), dispatch
         the device chain z_hat -> sigma -> rows."""
-        y_strings, z_strings = [], []
-        xshape = zshape = None
         with self.timer.stage("dec/parse"):
-            for blob in blobs:
-                packed = PackedTensors(blob)
-                ys, zs, xs, zsh = packed.unpack(
-                    [object, object, np.int32, np.int32]
-                )
-                y_strings.append(bytes(ys[0]))
-                z_strings.append(bytes(zs[0]))
-                xshape, zshape = xs, zsh
+            from compression_tpu.models.device_coding import parse_host_blobs
+
+            y_strings, z_strings, xshape, zshape = parse_host_blobs(blobs)
         with self.timer.stage("dec/code_z"):
             z_hat = self.side_em.decompress(
                 z_strings, tuple(int(v) for v in zshape)
@@ -561,12 +550,11 @@ class Codec:
         with self.timer.stage("enc/code_z"):
             z_strings = self.side_em.compress_symbols(z_sym)
         with self.timer.stage("enc/fetch_stream"):
-            streams = [
-                np.asarray(
-                    jax.device_get(w.stream[b, : int(lengths[b])])
-                ).tobytes()
-                for b in range(w.n)
-            ]
+            # One device->host transfer for the whole batch (sliced to the
+            # batch-max length) instead of n round-trips.
+            from compression_tpu.models.device_coding import fetch_streams
+
+            streams = fetch_streams(w.stream, lengths)
         with self.timer.stage("enc/pack"):
             h, wd = w.hw
             blobs = []
@@ -590,13 +578,29 @@ class Codec:
         xshape = zshape = None
         K = None
         with self.timer.stage("dec/parse"):
-            for blob in blobs:
+            for b, blob in enumerate(blobs):
+                if not self._is_device_coded(blob):
+                    raise ValueError(
+                        f"blob {b} is host-coded; a batched decode "
+                        "cannot mix host- and device-coded bitstreams"
+                    )
                 packed = PackedTensors(blob)
                 ys, zs, xs, zsh, kk = packed.unpack(
                     [object, object, np.int32, np.int32, np.int32]
                 )
                 y_words.append(np.frombuffer(bytes(ys[0]), np.uint16))
                 z_strings.append(bytes(zs[0]))
+                if xshape is not None and not (
+                    np.array_equal(xshape, xs)
+                    and np.array_equal(zshape, zsh)
+                    and K == int(kk[0])
+                ):
+                    raise ValueError(
+                        "batched decode requires same-size blobs: blob "
+                        f"{b} has shape/K {tuple(xs)}/{int(kk[0])} vs "
+                        f"{tuple(xshape)}/{K}; decode mixed sizes one "
+                        "by one"
+                    )
                 xshape, zshape, K = xs, zsh, int(kk[0])
         with self.timer.stage("dec/code_z"):
             z_hat = self.side_em.decompress(

@@ -30,6 +30,8 @@ from compression_tpu.util import image as image_util
 __all__ = [
     "rans_for",
     "is_device_coded",
+    "parse_host_blobs",
+    "fetch_streams",
     "pad_words",
     "dispatch_encode_rans",
     "finish_encode_rans",
@@ -42,9 +44,12 @@ def rans_for(codec, N: int, K: int | None = None):
     if not hasattr(codec, "_rans_cache"):
         codec._rans_cache = {}
     if K is None:
-        K = int(os.environ.get("TPC_RANS_K", "128"))
-        k_fit = 4
-        while k_fit * 2 <= max(4, N // 16) and k_fit * 2 <= K:
+        # TPC_RANS_K is a CAP on the auto-fit lane count (and is honored
+        # all the way down to 1 — single-lane runs are the debugging /
+        # reference-comparison mode). Lane count stays a power of two.
+        cap_k = max(1, int(os.environ.get("TPC_RANS_K", "128")))
+        k_fit = 1
+        while k_fit * 2 <= max(4, N // 16) and k_fit * 2 <= cap_k:
             k_fit *= 2
         K = k_fit
     key = (N, K)
@@ -63,6 +68,52 @@ def is_device_coded(blob: bytes) -> bool:
     return len([k for k, *_ in packed.describe() if k != "MD"]) == 5
 
 
+def parse_host_blobs(blobs: List[bytes]):
+    """Unpacks host-coded 4-field blobs ``[y_string, z_string, xshape,
+    zshape]`` with format/size-uniformity validation (a lockstep batched
+    decode cannot mix coder formats or image sizes)."""
+    y_strings, z_strings = [], []
+    xshape = zshape = None
+    for b, blob in enumerate(blobs):
+        if is_device_coded(blob):
+            raise ValueError(
+                f"blob {b} is device-coded; a batched decode cannot mix "
+                "host- and device-coded bitstreams"
+            )
+        packed = PackedTensors(blob)
+        ys, zs, xs, zsh = packed.unpack(
+            [object, object, np.int32, np.int32]
+        )
+        y_strings.append(bytes(ys[0]))
+        z_strings.append(bytes(zs[0]))
+        if xshape is not None and not (
+            np.array_equal(xshape, xs) and np.array_equal(zshape, zsh)
+        ):
+            raise ValueError(
+                "batched decode requires same-size blobs: blob "
+                f"{b} has shape {tuple(xs)} vs {tuple(xshape)}; "
+                "decode mixed sizes one by one"
+            )
+        xshape, zshape = xs, zsh
+    return y_strings, z_strings, xshape, zshape
+
+
+def fetch_streams(stream, lengths) -> List[bytes]:
+    """Fetches per-image rANS word streams in ONE device->host transfer.
+
+    ``stream`` is the [n, cap] device buffer, ``lengths`` the (already
+    fetched) per-image word counts. Slicing to the batch max and fetching
+    once costs n*max(len) words instead of sum(len) — a few 10s of percent
+    more bytes — but a single link round-trip instead of n; on a
+    high-latency link (the benched tunnel) latency dominates, and on PCIe
+    one dispatch is still cheaper than n."""
+    lengths = np.asarray(lengths)
+    n = stream.shape[0]
+    max_len = int(lengths.max()) if n else 0
+    flat = np.asarray(jax.device_get(stream[:, :max_len]))
+    return [flat[b, : int(lengths[b])].tobytes() for b in range(n)]
+
+
 def pad_words(word_lists) -> np.ndarray:
     """Pads per-image u16 rANS word streams into one [n, cap] array, cap
     rounded up to a power-of-two bucket so varying stream lengths reuse a
@@ -79,9 +130,9 @@ def pad_words(word_lists) -> np.ndarray:
 
 def dispatch_encode_rans(codec, images: np.ndarray):
     """Device stage: transforms + symbols + rows + rANS, all async."""
-    from compression_tpu.models.bmshj2018 import Codec as _B
-
-    x, hw = _B._pad_np(np.asarray(images, np.uint8), codec.cfg.downscale)
+    x, hw = image_util.pad_to_multiple_np(
+        np.asarray(images, np.uint8), codec.cfg.downscale
+    )
     # Codecs whose _encode front takes normalized floats provide a uint8
     # variant under _encode_u8 (HiFiC); the hyperprior codecs' _encode is
     # already uint8-in.
@@ -112,10 +163,9 @@ def finish_encode_rans(codec, work) -> List[bytes]:
     z_strings = codec.side_em.compress_symbols(np.asarray(z_sym, np.int32))
     h, w = hw
     blobs = []
+    words_all = fetch_streams(stream, lengths)
     for b in range(n):
-        words = np.asarray(
-            jax.device_get(stream[b, : int(lengths[b])])
-        ).tobytes()
+        words = words_all[b]
         packed = PackedTensors()
         packed.model = codec.cfg.model_name
         packed.pack(
@@ -135,13 +185,28 @@ def decompress_batch_rans(codec, blobs: List[bytes]) -> np.ndarray:
     y_words, z_strings = [], []
     xshape = zshape = None
     K = None
-    for blob in blobs:
+    for b, blob in enumerate(blobs):
+        if not is_device_coded(blob):
+            raise ValueError(
+                f"blob {b} is host-coded; a batched decode cannot mix "
+                "host- and device-coded bitstreams"
+            )
         packed = PackedTensors(blob)
         ys, zs, xs, zsh, kk = packed.unpack(
             [object, object, np.int32, np.int32, np.int32]
         )
         y_words.append(np.frombuffer(bytes(ys[0]), np.uint16))
         z_strings.append(bytes(zs[0]))
+        if xshape is not None and not (
+            np.array_equal(xshape, xs)
+            and np.array_equal(zshape, zsh)
+            and K == int(kk[0])
+        ):
+            raise ValueError(
+                "batched decode requires same-size blobs: blob "
+                f"{b} has shape/K {tuple(xs)}/{int(kk[0])} vs "
+                f"{tuple(xshape)}/{K}; decode mixed sizes one by one"
+            )
         xshape, zshape, K = xs, zsh, int(kk[0])
     n = len(blobs)
     z_hat = codec.side_em.decompress(

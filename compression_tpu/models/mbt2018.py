@@ -250,9 +250,7 @@ class Codec:
     # -- encode: one async device chain, one host sync -----------------------
 
     def _dispatch_encode(self, images: np.ndarray):
-        from compression_tpu.models.bmshj2018 import Codec as _B
-
-        x, (h, w) = _B._pad_np(
+        x, (h, w) = image_util.pad_to_multiple_np(
             np.asarray(images, np.uint8), self.cfg.downscale
         )
         y, z = self._encode(jnp.asarray(x))
@@ -326,16 +324,7 @@ class Codec:
 
         if dc.is_device_coded(blobs[0]):
             return dc.decompress_batch_rans(self, blobs)
-        y_strings, z_strings = [], []
-        xshape = zshape = None
-        for blob in blobs:
-            packed = PackedTensors(blob)
-            ys, zs, xs, zsh = packed.unpack(
-                [object, object, np.int32, np.int32]
-            )
-            y_strings.append(bytes(ys[0]))
-            z_strings.append(bytes(zs[0]))
-            xshape, zshape = xs, zsh
+        y_strings, z_strings, xshape, zshape = dc.parse_host_blobs(blobs)
         z_hat = self.side_em.decompress(
             z_strings, tuple(int(v) for v in zshape)
         )

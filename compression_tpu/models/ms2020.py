@@ -428,9 +428,9 @@ class Codec:
     def _dispatch_encode(self, images: np.ndarray):
         cfg = self.cfg
         s = cfg.slice_size
-        from compression_tpu.models.bmshj2018 import Codec as _B
-
-        x, (h, w) = _B._pad_np(np.asarray(images, np.uint8), cfg.downscale)
+        x, (h, w) = image_util.pad_to_multiple_np(
+            np.asarray(images, np.uint8), cfg.downscale
+        )
         y, z = self._encode(jnp.asarray(x))
         z_sym = self._z_symbols(z)
         z_hat = self._z_hat(z_sym)
@@ -520,9 +520,9 @@ class Codec:
 
     def _dispatch_encode_rans(self, images: np.ndarray):
         cfg = self.cfg
-        from compression_tpu.models.bmshj2018 import Codec as _B
-
-        x, (h, w) = _B._pad_np(np.asarray(images, np.uint8), cfg.downscale)
+        x, (h, w) = image_util.pad_to_multiple_np(
+            np.asarray(images, np.uint8), cfg.downscale
+        )
         y, z = self._encode(jnp.asarray(x))
         z_sym = self._z_symbols(z)
         z_hat = self._z_hat(z_sym)
@@ -558,13 +558,11 @@ class Codec:
             )
         z_sym = np.asarray(jax.device_get(z_sym))
         z_strings = self.side_em.compress_symbols(z_sym)
+        from compression_tpu.models.device_coding import fetch_streams
+
+        # One device->host transfer per slice (not per image per slice).
         slice_bytes = [
-            [
-                np.asarray(
-                    jax.device_get(streams[i][0][b, : int(lengths[i][b])])
-                ).tobytes()
-                for b in range(n)
-            ]
+            fetch_streams(streams[i][0], lengths[i])
             for i in range(cfg.num_slices)
         ]
         h, w = hw
@@ -589,16 +587,22 @@ class Codec:
         n_fields = len([k for k, *_ in packed.describe() if k != "MD"])
         return n_fields == self.cfg.num_slices + 4
 
-    def _decompress_batch_rans(self, blobs: List[bytes]) -> np.ndarray:
+    def _parse_device_blobs(self, blobs: List[bytes]):
+        """Unpacks device-coded blobs; validates format + size uniformity
+        (a lockstep batched decode cannot mix formats or image sizes)."""
         cfg = self.cfg
-        n = len(blobs)
         slice_words: List[List[np.ndarray]] = [
             [] for _ in range(cfg.num_slices)
         ]
         z_strings: List[bytes] = []
         xshape = zshape = None
         K = None
-        for blob in blobs:
+        for b, blob in enumerate(blobs):
+            if not self._is_device_coded(blob):
+                raise ValueError(
+                    f"blob {b} is host-coded; a batched decode cannot "
+                    "mix host- and device-coded bitstreams"
+                )
             packed = PackedTensors(blob)
             fields = packed.unpack(
                 [object] * cfg.num_slices
@@ -609,9 +613,28 @@ class Codec:
                     np.frombuffer(bytes(fields[i][0]), np.uint16)
                 )
             z_strings.append(bytes(fields[cfg.num_slices][0]))
-            xshape = fields[cfg.num_slices + 1]
-            zshape = fields[cfg.num_slices + 2]
-            K = int(fields[cfg.num_slices + 3][0])
+            xs = fields[cfg.num_slices + 1]
+            zsh = fields[cfg.num_slices + 2]
+            kk = int(fields[cfg.num_slices + 3][0])
+            if xshape is not None and not (
+                np.array_equal(xshape, xs)
+                and np.array_equal(zshape, zsh)
+                and K == kk
+            ):
+                raise ValueError(
+                    "batched decode requires same-size blobs: blob "
+                    f"{b} has shape/K {tuple(xs)}/{kk} vs "
+                    f"{tuple(xshape)}/{K}; decode mixed sizes one by one"
+                )
+            xshape, zshape, K = xs, zsh, kk
+        return slice_words, z_strings, xshape, zshape, K
+
+    def _decompress_batch_rans(self, blobs: List[bytes]) -> np.ndarray:
+        cfg = self.cfg
+        n = len(blobs)
+        slice_words, z_strings, xshape, zshape, K = self._parse_device_blobs(
+            blobs
+        )
         z_hat = self.side_em.decompress(
             z_strings, tuple(int(v) for v in zshape)
         )
@@ -672,7 +695,12 @@ class Codec:
         slice_strings: List[List[bytes]] = [[] for _ in range(cfg.num_slices)]
         z_strings: List[bytes] = []
         xshape = zshape = None
-        for blob in blobs:
+        for b, blob in enumerate(blobs):
+            if self._is_device_coded(blob):
+                raise ValueError(
+                    f"blob {b} is device-coded; a batched decode cannot "
+                    "mix host- and device-coded bitstreams"
+                )
             packed = PackedTensors(blob)
             fields = packed.unpack(
                 [object] * cfg.num_slices + [object, np.int32, np.int32]
@@ -680,8 +708,17 @@ class Codec:
             for i in range(cfg.num_slices):
                 slice_strings[i].append(bytes(fields[i][0]))
             z_strings.append(bytes(fields[cfg.num_slices][0]))
-            xshape = fields[cfg.num_slices + 1]
-            zshape = fields[cfg.num_slices + 2]
+            xs = fields[cfg.num_slices + 1]
+            zsh = fields[cfg.num_slices + 2]
+            if xshape is not None and not (
+                np.array_equal(xshape, xs) and np.array_equal(zshape, zsh)
+            ):
+                raise ValueError(
+                    "batched decode requires same-size blobs: blob "
+                    f"{b} has shape {tuple(xs)} vs {tuple(xshape)}; "
+                    "decode mixed sizes one by one"
+                )
+            xshape, zshape = xs, zsh
         return slice_strings, z_strings, xshape, zshape
 
     def decompress_batch(self, blobs: List[bytes]) -> np.ndarray:

@@ -65,13 +65,19 @@ class ShardedCharmCodec:
 
     def decompress_batch(self, blobs: List[bytes]) -> np.ndarray:
         """Lockstep slice-batched decode of same-size blobs, image-sharded
-        across the mesh. Output matches ``Codec.decompress_batch`` exactly
-        (asserted byte-for-byte in tests/test_charm_sharded.py)."""
+        across the mesh. Host- and device-coded (rANS) blob formats are
+        auto-detected, matching ``Codec.decompress_batch``. Output matches
+        the single-device path exactly (asserted byte-for-byte in
+        tests/test_charm_sharded.py)."""
         cfg = self.cfg
         codec = self.codec
         n = len(blobs)
+        if n == 0:
+            raise ValueError("decompress_batch needs at least one blob")
         pad = (-n) % self._ndev
         blobs = list(blobs) + [blobs[-1]] * pad
+        if codec._is_device_coded(blobs[0]):
+            return self._decompress_batch_rans(blobs)[:n]
         slice_strings, z_strings, xshape, zshape = codec._parse_blobs(blobs)
         m = len(blobs)
 
@@ -110,6 +116,58 @@ class ShardedCharmCodec:
         x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))
         out = np.asarray(jax.device_get(x_hat), np.uint8)
         return out[:n]
+
+    def _decompress_batch_rans(self, blobs: List[bytes]) -> np.ndarray:
+        """Device-coded (on-TPU rANS) variant: the per-slice decode runs
+        entirely on the mesh — word streams and CDF rows are batch-sharded
+        and the K-lane rANS scan partitions on the batch axis like every
+        other slice op, so NO values cross the host boundary at all (the
+        host only feeds compressed words in and fetches pixels out)."""
+        from compression_tpu.models.device_coding import pad_words
+
+        cfg = self.cfg
+        codec = self.codec
+        m = len(blobs)
+        slice_words, z_strings, xshape, zshape, K = codec._parse_device_blobs(
+            blobs
+        )
+        z_hat = self._shard(
+            jax.device_get(
+                codec.side_em.decompress(
+                    z_strings, tuple(int(v) for v in zshape)
+                )
+            )
+        )
+        mu_sup, sigma_sup = codec._jit_supports(self._p, z_hat)
+
+        decoded: List = []
+        ok_flags = []
+        for i in range(cfg.num_slices):
+            mu, sigma = codec._jit_slice_params(
+                i, self._p, mu_sup, sigma_sup, decoded
+            )
+            N = int(np.prod(mu.shape[1:]))
+            _enc, dec, _K, _cap = codec._rans(N, K)
+            rows32 = codec.em.rows(sigma).astype(jnp.int32)
+            values, ok = dec(
+                self._shard(pad_words(slice_words[i])),
+                rows32.reshape(m, -1),
+            )
+            ok_flags.append(ok)
+            y_hat_i = codec._apply_loc(values.reshape(mu.shape), mu)
+            decoded.append(
+                codec._jit_finish_slice(i, self._p, mu_sup, decoded, y_hat_i)
+            )
+
+        y_hat = jnp.concatenate(decoded, axis=-1)
+        x_hat = codec._jit_synthesize(self._p, y_hat)
+        from compression_tpu.util import image as image_util
+
+        x_hat = image_util.unpad(x_hat, (int(xshape[0]), int(xshape[1])))
+        x_hat, ok_flags = jax.device_get((x_hat, ok_flags))
+        if not bool(np.all(np.asarray(ok_flags))):
+            raise ValueError("corrupt device-coded bitstream (rANS state)")
+        return np.asarray(x_hat, np.uint8)
 
     def decompress(self, data: bytes) -> np.ndarray:
         return self.decompress_batch([data])[0]

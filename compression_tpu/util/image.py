@@ -19,6 +19,7 @@ __all__ = [
     "read_png",
     "write_png",
     "pad_to_multiple",
+    "pad_to_multiple_np",
     "unpad",
     "psnr",
     "ssim",
@@ -49,6 +50,22 @@ def pad_to_multiple(x, multiple: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
     pad[-3] = (0, hp)
     pad[-2] = (0, wp)
     return jnp.pad(x, pad, mode="edge"), (h, w)
+
+
+def pad_to_multiple_np(
+    images: np.ndarray, multiple: int
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Host-side (NumPy) twin of :func:`pad_to_multiple` for batched
+    (N, H, W, C) uint8 images — used by the codec dispatch stages, which
+    pad BEFORE the host->device upload so the device program has static
+    shapes. Same edge-pad semantics; returns (padded, (H, W))."""
+    h, w = images.shape[1], images.shape[2]
+    hp, wp = -h % multiple, -w % multiple
+    if hp or wp:
+        images = np.pad(
+            images, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="edge"
+        )
+    return images, (h, w)
 
 
 def unpad(x, shape: Sequence[int]):

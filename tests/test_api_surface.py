@@ -11,6 +11,7 @@ _REFERENCE_NAMES = [
     # layers
     "SignalConv1D", "SignalConv2D", "SignalConv3D", "GDN",
     "IdentityInitializer", "Round", "SoftRound", "SoftRoundConditionalMean",
+    "Parameter", "GDNParameter", "RDFTParameter",
     # distributions
     "DeepFactorized", "NoisyDeepFactorized", "NoisyNormal", "NoisyLogistic",
     "NoisyNormalMixture", "NoisyLogisticMixture", "NoisyMixtureSameFamily",
@@ -36,9 +37,9 @@ _REFERENCE_NAMES = [
     "PackedTensors",
 ]
 
-# tfc.Parameter/GDNParameter/RDFTParameter are redesigned functionally
-# (flax modules take init/apply function pairs, not Parameter objects);
-# these are their spellings here.
+# The canonical JAX core of the Parameter wrappers is functional (flax
+# modules take init/apply function pairs); the class spellings above are
+# thin pytree wrappers over these.
 _FUNCTIONAL_EQUIVALENTS = [
     "nonneg_init", "nonneg_apply",          # GDNParameter
     "rdft_init", "rdft_apply", "rdft_basis",  # RDFTParameter
@@ -52,6 +53,31 @@ def test_reference_surface_present():
     missing = [n for n in _REFERENCE_NAMES + _FUNCTIONAL_EQUIVALENTS
                if not hasattr(tpc, n)]
     assert not missing, missing
+
+
+def test_parameter_wrappers_roundtrip_and_jit():
+    """Class-style Parameter wrappers: effective-value round-trip, the
+    nonneg floor, and pytree transparency under jit/grad."""
+    import jax
+    import jax.numpy as jnp
+
+    import compression_tpu as tpc
+
+    g = tpc.GDNParameter.create(jnp.array([0.5, 0.0, 2.0]), minimum=0.0)
+    np.testing.assert_allclose(
+        np.asarray(g()), [0.5, 0.0, 2.0], atol=1e-6
+    )
+    assert isinstance(g, tpc.Parameter)
+    # jit sees it as a pytree; gradients flow to the stored leaf.
+    val = jax.jit(lambda p: jnp.sum(p()))(g)
+    assert np.isfinite(float(val))
+    grads = jax.grad(lambda p: jnp.sum(p() ** 2))(g)
+    assert grads.stored.shape == g.stored.shape
+
+    kernel = np.random.RandomState(0).randn(3, 3, 2, 4).astype(np.float32)
+    r = tpc.RDFTParameter.create(kernel)
+    np.testing.assert_allclose(np.asarray(r()), kernel, atol=1e-5)
+    assert r.coeffs.shape == (9, 2, 4)
 
 
 def test_native_ops_callable_from_top_level():

@@ -52,6 +52,45 @@ def test_sharded_decode_matches_single_device():
     assert mu_sup.sharding.spec[0] == "data"
 
 
+def test_sharded_decode_device_coded_blobs():
+    """rANS (device-coded) blobs route through the sharded decode too and
+    match the single-device rANS decode byte-for-byte."""
+    model = ms2020.MS2020Model(_tiny_cfg())
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    rng = np.random.RandomState(11)
+    images = (rng.rand(8, 64, 64, 3) * 255).astype(np.uint8)
+    codec = ms2020.make_codec(model, params)
+    blobs = codec.compress_batch(images, coder="device")
+    assert codec._is_device_coded(blobs[0])
+    sharded = ShardedCharmCodec(model, params, make_mesh(8))
+    out = sharded.decompress_batch(blobs)
+    ref = codec.decompress_batch(blobs)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_decode_rejects_empty_and_mixed():
+    model = ms2020.MS2020Model(_tiny_cfg())
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    codec = ms2020.make_codec(model, params)
+    sharded = ShardedCharmCodec(model, params, make_mesh(8))
+    with pytest.raises(ValueError, match="at least one blob"):
+        sharded.decompress_batch([])
+    rng = np.random.RandomState(12)
+    images = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    host = codec.compress_batch(images)
+    dev = codec.compress_batch(images, coder="device")
+    with pytest.raises(ValueError, match="cannot mix"):
+        sharded.decompress_batch([host[0], dev[1]])
+    with pytest.raises(ValueError, match="cannot mix"):
+        sharded.decompress_batch([dev[0], host[1]])
+
+
 def test_sharded_decode_pads_ragged_batches():
     """A batch that doesn't divide the mesh is padded internally and the
     padding dropped — results must still match per-image decode."""

@@ -175,3 +175,55 @@ def test_corrupt_device_stream_raises():
     ])
     with pytest.raises(ValueError, match="rANS"):
         codec.decompress(bad.string)
+
+
+def test_batched_decode_rejects_mixed_formats_and_sizes():
+    """A lockstep batched decode cannot silently mix coder formats or
+    image sizes — both must raise a clear ValueError (previously the last
+    blob's shape/K silently won and earlier blobs decoded as garbage)."""
+    codec = _tiny_codec()
+    rng = np.random.RandomState(31)
+    small = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    big = (rng.rand(1, 64, 128, 3) * 255).astype(np.uint8)
+    host_s = codec.compress_batch(small)[0]
+    host_b = codec.compress_batch(big)[0]
+    dev_s = codec.compress_batch(small, coder="device")[0]
+    dev_b = codec.compress_batch(big, coder="device")[0]
+    with pytest.raises(ValueError, match="cannot mix"):
+        codec.decompress_batch([host_s, dev_s])
+    with pytest.raises(ValueError, match="cannot mix"):
+        codec.decompress_batch([dev_s, host_s])
+    with pytest.raises(ValueError, match="same-size"):
+        codec.decompress_batch([host_s, host_b])
+    with pytest.raises(ValueError, match="same-size"):
+        codec.decompress_batch([dev_s, dev_b])
+    # mbt2018/HiFiC share the generic path via device_coding
+    from compression_tpu.models import device_coding as dc
+
+    with pytest.raises(ValueError, match="same-size"):
+        dc.decompress_batch_rans(codec, [dev_s, dev_b])
+    with pytest.raises(ValueError, match="cannot mix"):
+        dc.parse_host_blobs([host_s, dev_s])
+    with pytest.raises(ValueError, match="same-size"):
+        dc.parse_host_blobs([host_s, host_b])
+
+
+def test_rans_k_env_override_honored(monkeypatch):
+    """TPC_RANS_K caps the auto-fit lane count all the way down to 1 —
+    single-lane streams are the debugging/reference-comparison mode."""
+    from compression_tpu.models import device_coding as dc
+
+    codec = _tiny_codec()
+    for want in ("1", "2"):
+        monkeypatch.setenv("TPC_RANS_K", want)
+        codec._rans_cache = {}
+        _enc, _dec, K, _cap = dc.rans_for(codec, 4096)
+        assert K == int(want)
+    monkeypatch.setenv("TPC_RANS_K", "1")
+    codec._rans_cache = {}
+    image = (np.random.RandomState(33).rand(64, 64, 3) * 255).astype(
+        np.uint8
+    )
+    blob = codec.compress(image, coder="device")
+    ref = codec.decompress(codec.compress(image))
+    np.testing.assert_array_equal(codec.decompress(blob), ref)
