@@ -819,3 +819,117 @@ def compress(
 
 def decompress(model: BMSHJ2018Model, params, data: bytes) -> np.ndarray:
     return make_codec(model, params).decompress(data)
+
+
+# ---------------------------------------------------------------------------
+# Spatially sharded transforms (images too large for one chip's HBM)
+# ---------------------------------------------------------------------------
+#
+# The flagship's counterpart of bls2017.sharded_analyze/sharded_synthesize
+# (SURVEY.md §5 plan (b)): every SignalConv runs as a halo-exchange sharded
+# conv over the mesh (parallel.spatial, ppermute over ICI); GDN/IGDN, bias
+# and ReLU are pointwise and stay sharded. The hyper pair is covered too,
+# so the ENTIRE encode front (x -> y -> z) and decode back-end
+# (z_hat -> sigma, y_hat -> x_hat) of the two-stream codec run H-sharded —
+# only the (tiny) entropy-coding stage needs gathering. Each function
+# matches its dense twin exactly (asserted in tests/test_parallel_extras).
+
+
+def sharded_analyze(model: BMSHJ2018Model, params, x, mesh, axis="data"):
+    """H-sharded analysis transform: x (N, H, W, 3) in [0, 1] -> y.
+
+    H must be divisible by ``mesh axis size * 16`` (four stride-2 levels).
+    """
+    from compression_tpu.parallel.spatial import sharded_signal_conv2d
+
+    p = params["params"]["analysis"]
+    x = jnp.asarray(x, p["conv0"]["kernel"].dtype)
+    for i in range(4):
+        conv = p[f"conv{i}"]
+        x = sharded_signal_conv2d(
+            x, conv["kernel"], mesh, axis, corr=True, strides_down=2
+        )
+        if "bias" in conv:
+            x = x + conv["bias"]
+        if i < 3:
+            x = GDN().apply({"params": p[f"gdn{i}"]}, x)
+    return x
+
+
+def sharded_synthesize(model: BMSHJ2018Model, params, y_hat, mesh,
+                       axis="data"):
+    """H-sharded synthesis: y_hat (N, h, w, C) -> x_hat (N, 16h, 16w, 3).
+
+    h must be divisible by the mesh axis size (and per-shard height >= 2
+    for the 5x5 halos)."""
+    from compression_tpu.parallel.spatial import sharded_signal_conv2d_up
+
+    p = params["params"]["synthesis"]
+    y = jnp.asarray(y_hat, p["conv0"]["kernel"].dtype)
+    for i in range(4):
+        conv = p[f"conv{i}"]
+        y = sharded_signal_conv2d_up(
+            y, conv["kernel"], mesh, axis, corr=False, strides_up=2
+        )
+        if "bias" in conv:
+            y = y + conv["bias"]
+        if i < 3:
+            y = GDN(inverse=True).apply({"params": p[f"igdn{i}"]}, y)
+    return y
+
+
+def sharded_hyper_analyze(model: BMSHJ2018Model, params, y, mesh,
+                          axis="data"):
+    """H-sharded hyper-analysis: y -> z (two stride-2 levels + one 3x3)."""
+    from compression_tpu.parallel.spatial import sharded_signal_conv2d
+
+    p = params["params"]["hyper_analysis"]
+    z = jnp.abs(jnp.asarray(y, p["conv0"]["kernel"].dtype))
+    for i, (stride, act) in enumerate(((1, True), (2, True), (2, False))):
+        conv = p[f"conv{i}"]
+        z = sharded_signal_conv2d(
+            z, conv["kernel"], mesh, axis, corr=True, strides_down=stride
+        )
+        if "bias" in conv:
+            z = z + conv["bias"]
+        if act:
+            z = jax.nn.relu(z)
+    return z
+
+
+def sharded_sigma(model: BMSHJ2018Model, params, z_hat, mesh, axis="data"):
+    """H-sharded hyper-synthesis: z_hat -> sigma (>= SCALES_MIN)."""
+    from compression_tpu.parallel.spatial import (
+        sharded_signal_conv2d,
+        sharded_signal_conv2d_up,
+    )
+
+    p = params["params"]["hyper_synthesis"]
+    z = jnp.asarray(z_hat, p["conv0"]["kernel"].dtype)
+    for i in range(2):
+        conv = p[f"conv{i}"]
+        z = sharded_signal_conv2d_up(
+            z, conv["kernel"], mesh, axis, corr=False, strides_up=2
+        )
+        if "bias" in conv:
+            z = z + conv["bias"]
+        z = jax.nn.relu(z)
+    conv = p["conv2"]
+    sigma = sharded_signal_conv2d(
+        z, conv["kernel"], mesh, axis, corr=True, strides_down=1
+    )
+    if "bias" in conv:
+        sigma = sigma + conv["bias"]
+    return lower_bound(sigma, SCALES_MIN)
+
+
+def sharded_encode_latents(model: BMSHJ2018Model, params, x, mesh,
+                           axis="data"):
+    """The full encode front (x -> y -> z) H-sharded over the mesh.
+
+    H must be divisible by ``mesh axis size * 64`` (Config.downscale per
+    shard): 16x from the analysis levels, 4x more from the hyper levels.
+    Returns (y, z), both still sharded along H."""
+    y = sharded_analyze(model, params, x, mesh, axis)
+    z = sharded_hyper_analyze(model, params, y, mesh, axis)
+    return y, z
