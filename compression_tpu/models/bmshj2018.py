@@ -35,7 +35,20 @@ from compression_tpu.models import common
 from compression_tpu.util import PackedTensors
 from compression_tpu.util import image as image_util
 
-__all__ = ["BMSHJ2018Model", "Config"]
+__all__ = [
+    "BMSHJ2018Model",
+    "Config",
+    "Codec",
+    "make_codec",
+    "compress",
+    "decompress",
+    "train",
+    "sharded_analyze",
+    "sharded_synthesize",
+    "sharded_hyper_analyze",
+    "sharded_sigma",
+    "sharded_encode_latents",
+]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,6 +42,11 @@ MODULES = [
     "compression_tpu.parallel.spatial",
     "compression_tpu.parallel.charm_pipeline",
     "compression_tpu.parallel.charm_sharded",
+    "compression_tpu.models.bls2017",
+    "compression_tpu.models.bmshj2018",
+    "compression_tpu.models.mbt2018",
+    "compression_tpu.models.ms2020",
+    "compression_tpu.models.device_coding",
     "compression_tpu.models.b2018",
     "compression_tpu.models.toy_sources",
     "compression_tpu.models.hific.model",
