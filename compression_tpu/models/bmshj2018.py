@@ -848,25 +848,43 @@ def decompress(model: BMSHJ2018Model, params, data: bytes) -> np.ndarray:
 # matches its dense twin exactly (asserted in tests/test_parallel_extras).
 
 
+# Layer lists for parallel.spatial.sharded_transform_apply. These four
+# stacks are shared with mbt2018 and ms2020 (which import the transform
+# classes from here); the GDN analysis/synthesis pair is identical across
+# all three families, the hyper pair differs only in widths (carried by
+# the params) and the |y| front (bmshj2018's scale-only hyperprior).
+_ANALYSIS_LAYERS = [
+    {"name": f"conv{i}", "down": 2,
+     **({"post": "gdn", "gdn": f"gdn{i}"} if i < 3 else {})}
+    for i in range(4)
+]
+_SYNTHESIS_LAYERS = [
+    {"name": f"conv{i}", "up": 2,
+     **({"post": "igdn", "gdn": f"igdn{i}"} if i < 3 else {})}
+    for i in range(4)
+]
+_HYPER_ANALYSIS_LAYERS = [
+    {"name": "conv0", "down": 1, "post": "relu"},
+    {"name": "conv1", "down": 2, "post": "relu"},
+    {"name": "conv2", "down": 2},
+]
+_HYPER_SYNTHESIS_LAYERS = [
+    {"name": "conv0", "up": 2, "post": "relu"},
+    {"name": "conv1", "up": 2, "post": "relu"},
+    {"name": "conv2", "down": 1},
+]
+
+
 def sharded_analyze(model: BMSHJ2018Model, params, x, mesh, axis="data"):
     """H-sharded analysis transform: x (N, H, W, 3) in [0, 1] -> y.
 
     H must be divisible by ``mesh axis size * 16`` (four stride-2 levels).
     """
-    from compression_tpu.parallel.spatial import sharded_signal_conv2d
+    from compression_tpu.parallel.spatial import sharded_transform_apply
 
     p = params["params"]["analysis"]
     x = jnp.asarray(x, p["conv0"]["kernel"].dtype)
-    for i in range(4):
-        conv = p[f"conv{i}"]
-        x = sharded_signal_conv2d(
-            x, conv["kernel"], mesh, axis, corr=True, strides_down=2
-        )
-        if "bias" in conv:
-            x = x + conv["bias"]
-        if i < 3:
-            x = GDN().apply({"params": p[f"gdn{i}"]}, x)
-    return x
+    return sharded_transform_apply(p, x, mesh, axis, _ANALYSIS_LAYERS)
 
 
 def sharded_synthesize(model: BMSHJ2018Model, params, y_hat, mesh,
@@ -875,64 +893,32 @@ def sharded_synthesize(model: BMSHJ2018Model, params, y_hat, mesh,
 
     h must be divisible by the mesh axis size (and per-shard height >= 2
     for the 5x5 halos)."""
-    from compression_tpu.parallel.spatial import sharded_signal_conv2d_up
+    from compression_tpu.parallel.spatial import sharded_transform_apply
 
     p = params["params"]["synthesis"]
     y = jnp.asarray(y_hat, p["conv0"]["kernel"].dtype)
-    for i in range(4):
-        conv = p[f"conv{i}"]
-        y = sharded_signal_conv2d_up(
-            y, conv["kernel"], mesh, axis, corr=False, strides_up=2
-        )
-        if "bias" in conv:
-            y = y + conv["bias"]
-        if i < 3:
-            y = GDN(inverse=True).apply({"params": p[f"igdn{i}"]}, y)
-    return y
+    return sharded_transform_apply(p, y, mesh, axis, _SYNTHESIS_LAYERS)
 
 
 def sharded_hyper_analyze(model: BMSHJ2018Model, params, y, mesh,
                           axis="data"):
     """H-sharded hyper-analysis: y -> z (two stride-2 levels + one 3x3)."""
-    from compression_tpu.parallel.spatial import sharded_signal_conv2d
+    from compression_tpu.parallel.spatial import sharded_transform_apply
 
     p = params["params"]["hyper_analysis"]
     z = jnp.abs(jnp.asarray(y, p["conv0"]["kernel"].dtype))
-    for i, (stride, act) in enumerate(((1, True), (2, True), (2, False))):
-        conv = p[f"conv{i}"]
-        z = sharded_signal_conv2d(
-            z, conv["kernel"], mesh, axis, corr=True, strides_down=stride
-        )
-        if "bias" in conv:
-            z = z + conv["bias"]
-        if act:
-            z = jax.nn.relu(z)
-    return z
+    return sharded_transform_apply(p, z, mesh, axis, _HYPER_ANALYSIS_LAYERS)
 
 
 def sharded_sigma(model: BMSHJ2018Model, params, z_hat, mesh, axis="data"):
     """H-sharded hyper-synthesis: z_hat -> sigma (>= SCALES_MIN)."""
-    from compression_tpu.parallel.spatial import (
-        sharded_signal_conv2d,
-        sharded_signal_conv2d_up,
-    )
+    from compression_tpu.parallel.spatial import sharded_transform_apply
 
     p = params["params"]["hyper_synthesis"]
     z = jnp.asarray(z_hat, p["conv0"]["kernel"].dtype)
-    for i in range(2):
-        conv = p[f"conv{i}"]
-        z = sharded_signal_conv2d_up(
-            z, conv["kernel"], mesh, axis, corr=False, strides_up=2
-        )
-        if "bias" in conv:
-            z = z + conv["bias"]
-        z = jax.nn.relu(z)
-    conv = p["conv2"]
-    sigma = sharded_signal_conv2d(
-        z, conv["kernel"], mesh, axis, corr=True, strides_down=1
+    sigma = sharded_transform_apply(
+        p, z, mesh, axis, _HYPER_SYNTHESIS_LAYERS
     )
-    if "bias" in conv:
-        sigma = sigma + conv["bias"]
     return lower_bound(sigma, SCALES_MIN)
 
 

@@ -366,3 +366,69 @@ def compress(
 
 def decompress(model: MBT2018Model, params, data: bytes) -> np.ndarray:
     return make_codec(model, params).decompress(data)
+
+
+# ---------------------------------------------------------------------------
+# Spatially sharded transforms (images too large for one chip's HBM)
+# ---------------------------------------------------------------------------
+#
+# Same halo-exchange machinery as the flagship (bmshj2018 — this family
+# shares its analysis/synthesis classes, so the same layer lists apply);
+# only the hyper pair differs: signed y in (mean prediction needs sign
+# information, no |.| front) and a joint (mu, sigma) head out.
+
+
+def sharded_analyze(model: MBT2018Model, params, x, mesh, axis="data"):
+    """H-sharded analysis: x -> y (H divisible by mesh size * 16)."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    p = params["params"]["analysis"]
+    x = jnp.asarray(x, p["conv0"]["kernel"].dtype)
+    return sharded_transform_apply(p, x, mesh, axis, _b._ANALYSIS_LAYERS)
+
+
+def sharded_synthesize(model: MBT2018Model, params, y_hat, mesh,
+                       axis="data"):
+    """H-sharded synthesis: y_hat -> x_hat."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    p = params["params"]["synthesis"]
+    y = jnp.asarray(y_hat, p["conv0"]["kernel"].dtype)
+    return sharded_transform_apply(p, y, mesh, axis, _b._SYNTHESIS_LAYERS)
+
+
+def sharded_hyper_analyze(model: MBT2018Model, params, y, mesh, axis="data"):
+    """H-sharded hyper-analysis: y -> z (signed input)."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    p = params["params"]["hyper_analysis"]
+    y = jnp.asarray(y, p["conv0"]["kernel"].dtype)
+    return sharded_transform_apply(
+        p, y, mesh, axis, _b._HYPER_ANALYSIS_LAYERS
+    )
+
+
+def sharded_params(model: MBT2018Model, params, z_hat, mesh, axis="data"):
+    """H-sharded hyper-synthesis: z_hat -> (mu, sigma >= SCALES_MIN)."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    p = params["params"]["hyper_synthesis"]
+    z = jnp.asarray(z_hat, p["conv0"]["kernel"].dtype)
+    out = sharded_transform_apply(
+        p, z, mesh, axis, _b._HYPER_SYNTHESIS_LAYERS
+    )
+    mu, sigma = jnp.split(out, 2, axis=-1)
+    return mu, lower_bound(sigma, SCALES_MIN)
+
+
+def sharded_encode_latents(model: MBT2018Model, params, x, mesh,
+                           axis="data"):
+    """The full encode front (x -> y -> z) H-sharded over the mesh
+    (H divisible by mesh size * 64)."""
+    y = sharded_analyze(model, params, x, mesh, axis)
+    z = sharded_hyper_analyze(model, params, y, mesh, axis)
+    return y, z

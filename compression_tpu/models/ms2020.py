@@ -784,3 +784,121 @@ def compress(
 
 def decompress(model: MS2020Model, params, data: bytes) -> np.ndarray:
     return make_codec(model, params).decompress(data)
+
+
+# ---------------------------------------------------------------------------
+# Spatially sharded transforms (images too large for one chip's HBM)
+# ---------------------------------------------------------------------------
+#
+# CHARM shares the flagship's analysis/synthesis classes; its hyper pair
+# and per-slice nets are stride-1/2 SignalConv stacks, so every compute
+# stage of a CHARM decode shards spatially with the same halo machinery —
+# the sequential slice chain (a data dependency) and the entropy coding
+# stay the driver's job, exactly as in the single-device codec.
+
+_SLICE_LAYERS = [
+    {"name": "conv0", "down": 1, "post": "relu"},
+    {"name": "conv1", "down": 1, "post": "relu"},
+    {"name": "conv2", "down": 1},
+]
+
+
+def sharded_analyze(model: MS2020Model, params, x, mesh, axis="data"):
+    """H-sharded analysis: x -> y (H divisible by mesh size * 16)."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    p = params["params"]["analysis"]
+    x = jnp.asarray(x, p["conv0"]["kernel"].dtype)
+    return sharded_transform_apply(p, x, mesh, axis, _b._ANALYSIS_LAYERS)
+
+
+def sharded_synthesize(model: MS2020Model, params, y_hat, mesh,
+                       axis="data"):
+    """H-sharded synthesis: y_hat -> x_hat."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    p = params["params"]["synthesis"]
+    y = jnp.asarray(y_hat, p["conv0"]["kernel"].dtype)
+    return sharded_transform_apply(p, y, mesh, axis, _b._SYNTHESIS_LAYERS)
+
+
+def sharded_hyper_analyze(model: MS2020Model, params, y, mesh, axis="data"):
+    """H-sharded hyper-analysis: y -> z (signed input, paper widths)."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    p = params["params"]["hyper_analysis"]
+    y = jnp.asarray(y, p["conv0"]["kernel"].dtype)
+    return sharded_transform_apply(
+        p, y, mesh, axis, _b._HYPER_ANALYSIS_LAYERS
+    )
+
+
+def sharded_supports(model: MS2020Model, params, z_hat, mesh, axis="data"):
+    """H-sharded support transforms: z_hat -> (mu_support, sigma_support)."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    z = jnp.asarray(
+        z_hat, params["params"]["mean_support"]["conv0"]["kernel"].dtype
+    )
+    return tuple(
+        sharded_transform_apply(
+            params["params"][name], z, mesh, axis,
+            _b._HYPER_SYNTHESIS_LAYERS,
+        )
+        for name in ("mean_support", "scale_support")
+    )
+
+
+def sharded_slice_params(model: MS2020Model, params, i: int, mu_sup,
+                         sigma_sup, decoded, mesh, axis="data"):
+    """H-sharded per-slice (mu_i, sigma_i) — the sharded twin of
+    ``MS2020Model.slice_params`` (same context capping)."""
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    m = model.config.max_support_slices
+    support = list(decoded) if m < 0 else list(decoded[:m])
+    ctx = jnp.concatenate([mu_sup] + support, axis=-1)
+    mu = sharded_transform_apply(
+        params["params"][f"mean_t{i}"], ctx, mesh, axis, _SLICE_LAYERS
+    )
+    ctx_s = jnp.concatenate([sigma_sup] + support, axis=-1)
+    sigma = lower_bound(
+        sharded_transform_apply(
+            params["params"][f"scale_t{i}"], ctx_s, mesh, axis,
+            _SLICE_LAYERS,
+        ),
+        SCALES_MIN,
+    )
+    return mu, sigma
+
+
+def sharded_slice_lrp(model: MS2020Model, params, i: int, mu_sup,
+                      decoded_with_current, mesh, axis="data"):
+    """H-sharded latent residual prediction — twin of
+    ``MS2020Model.slice_lrp``."""
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    m = model.config.max_support_slices
+    prior = list(decoded_with_current[:-1])
+    support = prior if m < 0 else prior[:m]
+    ctx = jnp.concatenate(
+        [mu_sup] + support + list(decoded_with_current[-1:]), axis=-1
+    )
+    return 0.5 * jnp.tanh(
+        sharded_transform_apply(
+            params["params"][f"lrp_t{i}"], ctx, mesh, axis, _SLICE_LAYERS
+        )
+    )
+
+
+def sharded_encode_latents(model: MS2020Model, params, x, mesh,
+                           axis="data"):
+    """The full encode front (x -> y -> z) H-sharded over the mesh
+    (H divisible by mesh size * 64)."""
+    y = sharded_analyze(model, params, x, mesh, axis)
+    z = sharded_hyper_analyze(model, params, y, mesh, axis)
+    return y, z

@@ -197,3 +197,54 @@ def sharded_signal_conv2d_up(x, kernel, mesh: Mesh, axis: str = "data",
     )
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
     return mapped(x, pk)
+
+
+def sharded_transform_apply(params, x, mesh: Mesh, axis: str, layers):
+    """Runs a SignalConv stack H-sharded over the mesh from its param tree.
+
+    The codec transforms (analysis/synthesis/hyper/slice nets across every
+    model family) are all the same shape of program — a chain of
+    SignalConvs with optional bias, GDN/IGDN, or ReLU after each — so the
+    per-family ``sharded_*`` entry points reduce to a declarative layer
+    list over this one driver.
+
+    Args:
+      params: the transform's param subtree (e.g.
+        ``params["params"]["analysis"]``), holding ``conv<i>`` (and GDN
+        subtree) entries.
+      layers: sequence of dicts, one per conv, with keys:
+        ``name``: conv param name;
+        ``down``/``up``: stride (int; ``down=1`` = stride-1 halo conv,
+          at most one of the two);
+        ``post``: None | "relu" | "gdn" | "igdn" (GDN variants read their
+          params from ``params[spec["gdn"]]``).
+
+    Returns the output array, sharded along H like the input.
+    """
+    from compression_tpu.layers import GDN
+
+    for spec in layers:
+        conv = params[spec["name"]]
+        if spec.get("up"):
+            x = sharded_signal_conv2d_up(
+                x, conv["kernel"], mesh, axis, corr=False,
+                strides_up=spec["up"],
+            )
+        else:
+            x = sharded_signal_conv2d(
+                x, conv["kernel"], mesh, axis, corr=True,
+                strides_down=spec.get("down", 1),
+            )
+        if "bias" in conv:
+            x = x + conv["bias"]
+        post = spec.get("post")
+        if post == "relu":
+            x = jax.nn.relu(x)
+        elif post in ("gdn", "igdn"):
+            x = GDN(inverse=post == "igdn").apply(
+                {"params": params[spec["gdn"]]}, x
+            )
+    return x
+
+
+__all__.append("sharded_transform_apply")

@@ -289,3 +289,144 @@ def test_sharded_bmshj2018_decode_back_matches_dense():
     np.testing.assert_allclose(
         np.asarray(got_x), np.asarray(want_x), rtol=1e-5, atol=1e-5
     )
+
+
+def test_sharded_mbt2018_transforms_match_dense():
+    """mbt2018's sharded twins (analysis, signed hyper-analysis, joint
+    (mu, sigma) hyper-synthesis, synthesis) equal the dense paths on a
+    4-device mesh."""
+    from compression_tpu.models import mbt2018
+    from compression_tpu.parallel.data_parallel import make_mesh
+
+    cfg = mbt2018.Config(num_filters=8, num_latents=8, num_hyperlatents=4)
+    model = mbt2018.MBT2018Model(cfg)
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(1, 256, 64, 3), jnp.float32
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), training=True
+    )
+    mesh = make_mesh(4, "data")
+
+    want_y, want_z = model.apply(
+        params, x, method=mbt2018.MBT2018Model.encode_latents
+    )
+    got_y, got_z = mbt2018.sharded_encode_latents(model, params, x, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got_y), np.asarray(want_y), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_z), np.asarray(want_z), rtol=1e-5, atol=1e-5
+    )
+
+    z_hat = jnp.asarray(
+        np.random.RandomState(6).randn(1, 8, 4, 4), jnp.float32
+    )
+    want_mu, want_sigma = model.apply(
+        params, z_hat, method=mbt2018.MBT2018Model.params_from_zhat
+    )
+    got_mu, got_sigma = mbt2018.sharded_params(model, params, z_hat, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got_mu), np.asarray(want_mu), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_sigma), np.asarray(want_sigma), rtol=1e-5, atol=1e-5
+    )
+
+    y_hat = jnp.asarray(
+        np.random.RandomState(7).randn(1, 16, 4, 8), jnp.float32
+    )
+    want_x = model.apply(
+        params, y_hat, method=mbt2018.MBT2018Model.synthesize
+    )
+    got_x = mbt2018.sharded_synthesize(model, params, y_hat, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got_x), np.asarray(want_x), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_ms2020_transforms_match_dense():
+    """Every compute stage of a CHARM decode shards spatially: encode
+    front, support transforms, per-slice (mu, sigma), LRP, and synthesis
+    each equal their dense twins on a 4-device mesh — so a
+    giant-image CHARM decode is the sequential slice driver over these."""
+    from compression_tpu.models import ms2020
+    from compression_tpu.parallel.data_parallel import make_mesh
+
+    cfg = ms2020.Config(num_filters=8, num_latents=8, num_hyperlatents=4,
+                        num_slices=2)
+    model = ms2020.MS2020Model(cfg)
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(1, 256, 64, 3), jnp.float32
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), training=True
+    )
+    mesh = make_mesh(4, "data")
+
+    want_y, want_z = model.apply(
+        params, x, method=ms2020.MS2020Model.encode_latents
+    )
+    got_y, got_z = ms2020.sharded_encode_latents(model, params, x, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got_y), np.asarray(want_y), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_z), np.asarray(want_z), rtol=1e-5, atol=1e-5
+    )
+
+    z_hat = jnp.asarray(
+        np.random.RandomState(6).randn(1, 8, 4, 4), jnp.float32
+    )
+    want_ms, want_ss = model.apply(
+        params, z_hat, method=ms2020.MS2020Model.supports_from_zhat
+    )
+    got_ms, got_ss = ms2020.sharded_supports(model, params, z_hat, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got_ms), np.asarray(want_ms), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_ss), np.asarray(want_ss), rtol=1e-5, atol=1e-5
+    )
+
+    s = cfg.slice_size
+    y0 = jnp.asarray(
+        np.random.RandomState(7).randn(1, 32, 16, s), jnp.float32
+    )
+    for i, decoded in ((0, []), (1, [y0])):
+        want_mu, want_sigma = model.apply(
+            params, i, want_ms, want_ss, decoded,
+            method=ms2020.MS2020Model.slice_params,
+        )
+        got_mu, got_sigma = ms2020.sharded_slice_params(
+            model, params, i, got_ms, got_ss, decoded, mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_mu), np.asarray(want_mu), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_sigma), np.asarray(want_sigma),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    want_lrp = model.apply(
+        params, 1, want_ms, [y0, y0 + 1.0],
+        method=ms2020.MS2020Model.slice_lrp,
+    )
+    got_lrp = ms2020.sharded_slice_lrp(
+        model, params, 1, got_ms, [y0, y0 + 1.0], mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_lrp), np.asarray(want_lrp), rtol=1e-5, atol=1e-5
+    )
+
+    y_hat = jnp.asarray(
+        np.random.RandomState(8).randn(1, 16, 4, 8), jnp.float32
+    )
+    want_x = model.apply(
+        params, y_hat, method=ms2020.MS2020Model.synthesize
+    )
+    got_x = ms2020.sharded_synthesize(model, params, y_hat, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got_x), np.asarray(want_x), rtol=1e-5, atol=1e-5
+    )
