@@ -250,8 +250,7 @@ def sharded_analyze(model: BLS2017Model, params, x, mesh, axis: str = "data"):
     Args:
       x: (N, H, W, 3) float in [0, 1]; H divisible by mesh size * 16.
     """
-    from compression_tpu.layers import GDN
-    from compression_tpu.parallel.spatial import sharded_signal_conv2d
+    from compression_tpu.parallel.spatial import sharded_transform_apply
 
     if model.config.arch != "bls2017":
         raise NotImplementedError(
@@ -259,17 +258,11 @@ def sharded_analyze(model: BLS2017Model, params, x, mesh, axis: str = "data"):
         )
     p = params["params"]["analysis"]
     x = jnp.asarray(x, p["conv0"]["kernel"].dtype)  # match param dtype
-    strides = (4, 2, 2)
-    for i in range(3):
-        conv = p[f"conv{i}"]
-        x = sharded_signal_conv2d(
-            x, conv["kernel"], mesh, axis, corr=True, strides_down=strides[i]
-        )
-        if "bias" in conv:
-            x = x + conv["bias"]
-        if i < 2:
-            x = GDN().apply({"params": p[f"gdn{i}"]}, x)
-    return x
+    return sharded_transform_apply(p, x, mesh, axis, [
+        {"name": "conv0", "down": 4, "post": "gdn", "gdn": "gdn0"},
+        {"name": "conv1", "down": 2, "post": "gdn", "gdn": "gdn1"},
+        {"name": "conv2", "down": 2},
+    ])
 
 
 def sharded_synthesize(model: BLS2017Model, params, y_hat, mesh,
@@ -284,8 +277,7 @@ def sharded_synthesize(model: BLS2017Model, params, y_hat, mesh,
     Args:
       y_hat: (N, h, w, C) latents; h divisible by the mesh size.
     """
-    from compression_tpu.layers import GDN
-    from compression_tpu.parallel.spatial import sharded_signal_conv2d_up
+    from compression_tpu.parallel.spatial import sharded_transform_apply
 
     if model.config.arch != "bls2017":
         raise NotImplementedError(
@@ -293,17 +285,11 @@ def sharded_synthesize(model: BLS2017Model, params, y_hat, mesh,
         )
     p = params["params"]["synthesis"]
     y = jnp.asarray(y_hat, p["conv0"]["kernel"].dtype)
-    strides = (2, 2, 4)
-    for i in range(3):
-        conv = p[f"conv{i}"]
-        y = sharded_signal_conv2d_up(
-            y, conv["kernel"], mesh, axis, corr=False, strides_up=strides[i]
-        )
-        if "bias" in conv:
-            y = y + conv["bias"]
-        if i < 2:
-            y = GDN(inverse=True).apply({"params": p[f"igdn{i}"]}, y)
-    return y
+    return sharded_transform_apply(p, y, mesh, axis, [
+        {"name": "conv0", "up": 2, "post": "igdn", "gdn": "igdn0"},
+        {"name": "conv1", "up": 2, "post": "igdn", "gdn": "igdn1"},
+        {"name": "conv2", "up": 4},
+    ])
 
 
 def make_codec(model: BLS2017Model, params) -> Codec:
