@@ -48,6 +48,7 @@ __all__ = [
     "sharded_hyper_analyze",
     "sharded_sigma",
     "sharded_encode_latents",
+    "SpatialCodec",
 ]
 
 
@@ -932,3 +933,100 @@ def sharded_encode_latents(model: BMSHJ2018Model, params, x, mesh,
     y = sharded_analyze(model, params, x, mesh, axis)
     z = sharded_hyper_analyze(model, params, y, mesh, axis)
     return y, z
+
+
+class SpatialCodec:
+    """Giant-image codec: one image, transforms H-sharded over the mesh.
+
+    For images too large for one chip's HBM: every transform stage
+    (analysis, hyper-analysis, hyper-synthesis, synthesis) runs
+    halo-sharded across the devices; only the entropy-coding stage — which
+    touches the (16x-64x smaller) latent symbol grids — runs on the host.
+    The wire format is the standard 4-field host-coded blob, and the
+    bit-exactness invariant mirrors :class:`Codec`'s: encode and decode
+    share ONE compiled sharded program for z_hat -> sigma -> CDF rows
+    (``self._rows``), and z_hat is formed as ``int_symbols + f32_offset``
+    on both sides, so the two sides can never disagree on a row index.
+    Decode a spatially-coded stream with a SpatialCodec over the same mesh
+    shape; the dense Codec recomputes sigma with a different (unsharded)
+    program — equal in practice but not guaranteed bit-equal.
+    """
+
+    def __init__(self, model: BMSHJ2018Model, params, mesh, axis="data"):
+        self.codec = make_codec(model, params)
+        self.cfg = model.config
+        self.mesh, self.axis = mesh, axis
+        self._p = params
+        nd = mesh.shape[axis]
+        # H pad multiple: the full encode front is downscale-deep per shard.
+        self._mult = self.cfg.downscale * nd
+        em = self.codec.em
+        z_off = self.codec.side_em.symbol_offset()
+
+        def _front(p, x_uint8):
+            x = x_uint8.astype(jnp.float32) / 255.0
+            y = sharded_analyze(model, p, x, mesh, axis)
+            z = sharded_hyper_analyze(model, p, y, mesh, axis)
+            z_sym = jnp.round(z - z_off).astype(jnp.int32)
+            y_sym = jnp.round(y).astype(jnp.int32)
+            return y_sym, z_sym
+
+        def _rows(p, z_hat):
+            sigma = sharded_sigma(model, p, z_hat, mesh, axis)
+            return em.rows(sigma)
+
+        def _synth(p, y_hat):
+            x = sharded_synthesize(
+                model, p, y_hat.astype(jnp.float32), mesh, axis
+            )
+            return jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+
+        self._front = jax.jit(_front)
+        self._rows = jax.jit(_rows)
+        self._synth = jax.jit(_synth)
+
+    def compress(self, image: np.ndarray) -> bytes:
+        """uint8 (H, W, 3) -> .tfci blob (H edge-padded to mesh*downscale)."""
+        codec = self.codec
+        x = np.asarray(image, np.uint8)[None]
+        h, w = x.shape[1], x.shape[2]
+        hp, wp = -h % self._mult, -w % self.cfg.downscale
+        if hp or wp:
+            x = np.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="edge")
+        y_sym, z_sym = self._front(self._p, jnp.asarray(x))
+        z_sym = np.asarray(jax.device_get(z_sym))
+        # Decoder-exact z_hat: integer symbols + f32 offset (both exact).
+        z_hat = jnp.asarray(z_sym.astype(np.float32) + codec._z_off_host)
+        rows = np.asarray(jax.device_get(self._rows(self._p, z_hat)))
+        y_sym = np.asarray(jax.device_get(y_sym))
+        z_strings = codec.side_em.compress_symbols(z_sym)
+        y_strings = codec.em.compress_symbols(
+            y_sym.reshape(1, -1), rows.reshape(1, -1)
+        )
+        packed = PackedTensors()
+        packed.model = self.cfg.model_name
+        packed.pack(
+            [
+                y_strings[0],
+                z_strings[0],
+                np.array([h, w], np.int32),
+                np.array(z_sym.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, blob: bytes) -> np.ndarray:
+        from compression_tpu.models.device_coding import parse_host_blobs
+
+        codec = self.codec
+        y_strings, z_strings, xshape, zshape = parse_host_blobs([blob])
+        z_hat = codec.side_em.decompress(
+            z_strings, tuple(int(v) for v in zshape)
+        )
+        rows = np.asarray(
+            jax.device_get(self._rows(self._p, jnp.asarray(z_hat)))
+        )
+        values = codec.em.decode_symbols(y_strings, rows.reshape(1, -1))
+        y_hat = jnp.asarray(values.reshape(rows.shape))
+        x_hat = np.asarray(jax.device_get(self._synth(self._p, y_hat)))
+        return x_hat[0, : int(xshape[0]), : int(xshape[1]), :]

@@ -430,3 +430,36 @@ def test_sharded_ms2020_transforms_match_dense():
     np.testing.assert_allclose(
         np.asarray(got_x), np.asarray(want_x), rtol=1e-5, atol=1e-5
     )
+
+
+def test_spatial_codec_roundtrip_matches_dense():
+    """The giant-image SpatialCodec (transforms H-sharded over a 4-device
+    mesh, host entropy coding) round-trips a real image. The bitstream is
+    byte-identical to the dense Codec's (the split convs reproduce the
+    same symbols and CDF rows here), and the reconstruction matches the
+    dense decode to within uint8 rounding of the sharded synthesis."""
+    from compression_tpu.models import bmshj2018
+    from compression_tpu.parallel.data_parallel import make_mesh
+
+    cfg = bmshj2018.Config(num_filters=8, num_latents=8, num_hyperlatents=4)
+    model = bmshj2018.BMSHJ2018Model(cfg)
+    x0 = jnp.asarray(
+        np.random.RandomState(3).rand(1, 256, 64, 3), jnp.float32
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    mesh = make_mesh(4, "data")
+    sc = bmshj2018.SpatialCodec(model, params, mesh)
+
+    img = (np.random.RandomState(9).rand(256, 64, 3) * 255).astype(np.uint8)
+    blob = sc.compress(img)
+    dense_blob = bmshj2018.compress(model, params, img)
+    assert blob == dense_blob, "spatial and dense bitstreams diverged"
+
+    out = sc.decompress(blob)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    dense_out = bmshj2018.decompress(model, params, blob)
+    np.testing.assert_allclose(
+        out.astype(np.int32), dense_out.astype(np.int32), atol=1
+    )
