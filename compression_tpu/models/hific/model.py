@@ -432,3 +432,112 @@ def compress(
 
 def decompress(model: HificModel, params, data: bytes) -> np.ndarray:
     return make_codec(model, params).decompress(data)
+
+
+# ---------------------------------------------------------------------------
+# Spatially sharded transforms (images too large for one chip's HBM)
+# ---------------------------------------------------------------------------
+#
+# Completes the spatial-sharding story across the zoo: HiFiC's hyper pair
+# is mbt2018's (shared classes — its sharded layer lists apply directly);
+# the Encoder and Generator need hand wiring because of ChannelNorm and
+# the residual trunk. ChannelNorm normalizes over channels PER spatial
+# position, so it applies to H-sharded arrays unchanged — only the convs
+# exchange halos.
+
+
+def _cn(p, name, x):
+    from compression_tpu.models.hific.archs import ChannelNorm
+
+    return ChannelNorm().apply({"params": p[name]}, x)
+
+
+def sharded_encode(model: HificModel, params, x, mesh, axis="data"):
+    """H-sharded Encoder: image in [0, 1] -> y (H divisible by
+    mesh size * 16)."""
+    from compression_tpu.parallel.spatial import sharded_signal_conv2d
+
+    p = params["params"]["encoder"]
+    x = jnp.asarray(x, p["conv0"]["kernel"].dtype)
+    x = sharded_signal_conv2d(
+        x, p["conv0"]["kernel"], mesh, axis, corr=True
+    ) + p["conv0"]["bias"]
+    x = jax.nn.relu(_cn(p, "norm0", x))
+    for i in range(4):
+        conv = p[f"conv{i + 1}"]
+        x = sharded_signal_conv2d(
+            x, conv["kernel"], mesh, axis, corr=True, strides_down=2
+        ) + conv["bias"]
+        x = jax.nn.relu(_cn(p, f"norm{i + 1}", x))
+    conv = p["conv_out"]
+    return sharded_signal_conv2d(
+        x, conv["kernel"], mesh, axis, corr=True
+    ) + conv["bias"]
+
+
+def sharded_generate(model: HificModel, params, y_hat, mesh, axis="data"):
+    """H-sharded Generator: y_hat -> image floats (16x upsampled; latent
+    H divisible by the mesh size)."""
+    from compression_tpu.parallel.spatial import (
+        sharded_signal_conv2d,
+        sharded_signal_conv2d_up,
+    )
+
+    p = params["params"]["generator"]
+    x = jnp.asarray(y_hat, p["conv_in"]["kernel"].dtype)
+    x = _cn(p, "norm_in", x)
+    x = sharded_signal_conv2d(
+        x, p["conv_in"]["kernel"], mesh, axis, corr=True
+    ) + p["conv_in"]["bias"]
+    x = _cn(p, "norm_head", x)
+    for i in range(model.config.num_residual_blocks):
+        r = p[f"res{i}"]
+        h = sharded_signal_conv2d(
+            x, r["conv0"]["kernel"], mesh, axis, corr=True
+        ) + r["conv0"]["bias"]
+        h = jax.nn.relu(_cn(r, "norm0", h))
+        h = sharded_signal_conv2d(
+            h, r["conv1"]["kernel"], mesh, axis, corr=True
+        ) + r["conv1"]["bias"]
+        x = x + _cn(r, "norm1", h)
+    for i in range(4):
+        conv = p[f"up{i}"]
+        x = sharded_signal_conv2d_up(
+            x, conv["kernel"], mesh, axis, corr=False, strides_up=2
+        ) + conv["bias"]
+        x = jax.nn.relu(_cn(p, f"upnorm{i}", x))
+    conv = p["conv_out"]
+    return sharded_signal_conv2d(
+        x, conv["kernel"], mesh, axis, corr=True
+    ) + conv["bias"]
+
+
+def sharded_encode_latents(model: HificModel, params, x, mesh, axis="data"):
+    """The full encode front (x -> y -> z) H-sharded over the mesh
+    (H divisible by mesh size * 64)."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    y = sharded_encode(model, params, x, mesh, axis)
+    z = sharded_transform_apply(
+        params["params"]["hyper_analysis"], y, mesh, axis,
+        _b._HYPER_ANALYSIS_LAYERS,
+    )
+    return y, z
+
+
+def sharded_params(model: HificModel, params, z_hat, mesh, axis="data"):
+    """H-sharded hyper-synthesis: z_hat -> (mu, sigma >= SCALES_MIN) —
+    HiFiC shares mbt2018's joint-head hyper pair."""
+    from compression_tpu.models import bmshj2018 as _b
+    from compression_tpu.ops.math_ops import lower_bound
+    from compression_tpu.entropy_models import SCALES_MIN
+    from compression_tpu.parallel.spatial import sharded_transform_apply
+
+    p = params["params"]["hyper_synthesis"]
+    z = jnp.asarray(z_hat, p["conv0"]["kernel"].dtype)
+    out = sharded_transform_apply(
+        p, z, mesh, axis, _b._HYPER_SYNTHESIS_LAYERS
+    )
+    mu, sigma = jnp.split(out, 2, axis=-1)
+    return mu, lower_bound(sigma, SCALES_MIN)
