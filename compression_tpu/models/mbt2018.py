@@ -35,7 +35,7 @@ from compression_tpu.models.bmshj2018 import (
 from compression_tpu.util import PackedTensors
 from compression_tpu.util import image as image_util
 
-__all__ = ["MBT2018Model", "Config"]
+__all__ = ["MBT2018Model", "Config", "Codec", "make_codec", "compress", "decompress", "train", "SpatialCodec"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -432,3 +432,94 @@ def sharded_encode_latents(model: MBT2018Model, params, x, mesh,
     y = sharded_analyze(model, params, x, mesh, axis)
     z = sharded_hyper_analyze(model, params, y, mesh, axis)
     return y, z
+
+
+class SpatialCodec:
+    """Giant-image mean-scale codec: one image, transforms H-sharded.
+
+    The mean-scale counterpart of ``bmshj2018.SpatialCodec``: analysis,
+    hyper pair and synthesis run halo-sharded across the mesh, host
+    entropy coding on the latent grids, standard 4-field blob. The
+    bit-exactness invariant extends to the mean pathway: encode and
+    decode share ONE compiled sharded program for z_hat -> (mu, rows)
+    (``self._pr``), and the symbol boundary math (round(y - mu) /
+    values + mu) uses the same trivially-jitted kernels as the dense
+    Codec — so the two sides can never disagree on a symbol or row.
+    """
+
+    def __init__(self, model: MBT2018Model, params, mesh, axis="data"):
+        self.codec = make_codec(model, params)
+        self.cfg = model.config
+        self.mesh, self.axis = mesh, axis
+        self._p = params
+        nd = mesh.shape[axis]
+        self._mult = self.cfg.downscale * nd
+        em = self.codec.em
+        z_off = self.codec.side_em.symbol_offset()
+        self._z_off_host = np.asarray(z_off, np.float32)
+
+        def _front(p, x_uint8):
+            x = x_uint8.astype(jnp.float32) / 255.0
+            y = sharded_analyze(model, p, x, mesh, axis)
+            z = sharded_hyper_analyze(model, p, y, mesh, axis)
+            z_sym = jnp.round(z - z_off).astype(jnp.int32)
+            return y, z_sym
+
+        def _pr(p, z_hat):
+            mu, sigma = sharded_params(model, p, z_hat, mesh, axis)
+            return mu, em.rows(sigma)
+
+        def _synth(p, y_hat):
+            x = sharded_synthesize(model, p, y_hat, mesh, axis)
+            return jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+
+        self._front = jax.jit(_front)
+        self._pr = jax.jit(_pr)
+        self._synth = jax.jit(_synth)
+
+    def compress(self, image: np.ndarray) -> bytes:
+        codec = self.codec
+        x = np.asarray(image, np.uint8)[None]
+        h, w = x.shape[1], x.shape[2]
+        hp, wp = -h % self._mult, -w % self.cfg.downscale
+        if hp or wp:
+            x = np.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="edge")
+        y, z_sym = self._front(self._p, jnp.asarray(x))
+        z_sym = np.asarray(jax.device_get(z_sym))
+        z_hat = jnp.asarray(z_sym.astype(np.float32) + self._z_off_host)
+        mu, rows = self._pr(self._p, z_hat)
+        sym = np.asarray(jax.device_get(codec._center_round(y, mu)))
+        rows = np.asarray(jax.device_get(rows))
+        z_strings = codec.side_em.compress_symbols(z_sym)
+        y_strings = codec.em.compress_symbols(
+            sym.reshape(1, -1), rows.reshape(1, -1)
+        )
+        packed = PackedTensors()
+        packed.model = self.cfg.model_name
+        packed.pack(
+            [
+                y_strings[0],
+                z_strings[0],
+                np.array([h, w], np.int32),
+                np.array(z_sym.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, blob: bytes) -> np.ndarray:
+        from compression_tpu.models import device_coding as dc
+        from compression_tpu.util.numeric import slim_int
+
+        codec = self.codec
+        y_strings, z_strings, xshape, zshape = dc.parse_host_blobs([blob])
+        z_hat = codec.side_em.decompress(
+            z_strings, tuple(int(v) for v in zshape)
+        )
+        mu, rows = self._pr(self._p, jnp.asarray(z_hat))
+        rows = np.asarray(jax.device_get(rows))
+        values = codec.em.decode_symbols(y_strings, rows.reshape(1, -1))
+        y_hat = codec._apply_loc(
+            jnp.asarray(slim_int(values.reshape(rows.shape))), mu
+        )
+        x_hat = np.asarray(jax.device_get(self._synth(self._p, y_hat)))
+        return x_hat[0, : int(xshape[0]), : int(xshape[1]), :]

@@ -46,7 +46,7 @@ from compression_tpu.ops.round_ops import round_st
 from compression_tpu.util import PackedTensors
 from compression_tpu.util import image as image_util
 
-__all__ = ["MS2020Model", "Config"]
+__all__ = ["MS2020Model", "Config", "Codec", "make_codec", "compress", "decompress", "train", "SpatialCodec"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -902,3 +902,129 @@ def sharded_encode_latents(model: MS2020Model, params, x, mesh,
     y = sharded_analyze(model, params, x, mesh, axis)
     z = sharded_hyper_analyze(model, params, y, mesh, axis)
     return y, z
+
+
+class SpatialCodec:
+    """Giant-image CHARM codec: one image, every compute stage H-sharded.
+
+    The flagship-family counterpart of ``bmshj2018.SpatialCodec``:
+    analysis, hyper-analysis, the two support transforms, all per-slice
+    (mu, sigma)/LRP nets and the synthesis run halo-sharded across the
+    mesh; the sequential 10-slice chain and the host entropy coding stay
+    the driver, exactly as in the single-device codec. Wire format is the
+    standard (num_slices + 3)-field blob. Bit-exactness invariant: encode
+    and decode share ONE compiled sharded program per stage (supports,
+    per-slice params+rows, per-slice LRP finish), and the coder-boundary
+    math reuses the dense codec's trivially-jitted kernels — the two
+    sides can never disagree on a symbol or CDF row.
+    """
+
+    def __init__(self, model: MS2020Model, params, mesh, axis="data"):
+        self.codec = make_codec(model, params)
+        cfg = self.cfg = model.config
+        self.mesh, self.axis = mesh, axis
+        self._p = params
+        nd = mesh.shape[axis]
+        self._mult = cfg.downscale * nd
+        em = self.codec.em
+        z_off = self.codec.side_em.symbol_offset()
+        self._z_off_host = np.asarray(z_off, np.float32)
+
+        def _front(p, x_uint8):
+            x = x_uint8.astype(jnp.float32) / 255.0
+            y = sharded_analyze(model, p, x, mesh, axis)
+            z = sharded_hyper_analyze(model, p, y, mesh, axis)
+            return y, jnp.round(z - z_off).astype(jnp.int32)
+
+        def _slice_pr(i, p, ms, ss, dec):
+            mu, sigma = sharded_slice_params(
+                model, p, i, ms, ss, dec, mesh, axis
+            )
+            return mu, em.rows(sigma)
+
+        self._front = jax.jit(_front)
+        self._sup = jax.jit(
+            lambda p, z_hat: sharded_supports(model, p, z_hat, mesh, axis)
+        )
+        self._slice_pr = jax.jit(_slice_pr, static_argnums=0)
+        self._fin = jax.jit(
+            lambda i, p, ms, dec, y_hat_i: y_hat_i
+            + sharded_slice_lrp(
+                model, p, i, ms, dec + [y_hat_i], mesh, axis
+            ),
+            static_argnums=0,
+        )
+        self._synth = jax.jit(
+            lambda p, y: jnp.clip(
+                jnp.round(
+                    sharded_synthesize(model, p, y, mesh, axis) * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+
+    def compress(self, image: np.ndarray) -> bytes:
+        cfg, codec = self.cfg, self.codec
+        x = np.asarray(image, np.uint8)[None]
+        h, w = x.shape[1], x.shape[2]
+        hp, wp = -h % self._mult, -w % cfg.downscale
+        if hp or wp:
+            x = np.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="edge")
+        y, z_sym = self._front(self._p, jnp.asarray(x))
+        z_sym = np.asarray(jax.device_get(z_sym))
+        z_hat = jnp.asarray(z_sym.astype(np.float32) + self._z_off_host)
+        mu_sup, sigma_sup = self._sup(self._p, z_hat)
+        decoded, syms, rows = [], [], []
+        for i in range(cfg.num_slices):
+            y_i = codec._take_slice(y, i)
+            mu, rows_i = self._slice_pr(i, self._p, mu_sup, sigma_sup, decoded)
+            sym = codec._center_round(y_i, mu)
+            syms.append(sym)
+            rows.append(rows_i)
+            y_hat_i = codec._apply_loc(sym, mu)
+            decoded.append(self._fin(i, self._p, mu_sup, decoded, y_hat_i))
+        syms, rows = jax.device_get((syms, rows))
+        z_strings = codec.side_em.compress_symbols(z_sym)
+        slice_strings = [
+            codec.em.compress_symbols(
+                np.asarray(syms[i]).reshape(1, -1),
+                np.asarray(rows[i]).reshape(1, -1),
+            )[0]
+            for i in range(cfg.num_slices)
+        ]
+        packed = PackedTensors()
+        packed.model = cfg.model_name
+        packed.pack(
+            slice_strings
+            + [
+                z_strings[0],
+                np.array([h, w], np.int32),
+                np.array(z_sym.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, blob: bytes) -> np.ndarray:
+        cfg, codec = self.cfg, self.codec
+        slice_strings, z_strings, xshape, zshape = codec._parse_blobs([blob])
+        z_hat = codec.side_em.decompress(
+            z_strings, tuple(int(v) for v in zshape)
+        )
+        mu_sup, sigma_sup = self._sup(self._p, jnp.asarray(z_hat))
+        decoded = []
+        for i in range(cfg.num_slices):
+            mu, rows = self._slice_pr(i, self._p, mu_sup, sigma_sup, decoded)
+            rows = np.asarray(jax.device_get(rows))
+            values = codec.em.decode_symbols(
+                slice_strings[i], rows.reshape(1, -1)
+            )
+            y_hat_i = codec._apply_loc(
+                jnp.asarray(codec._slim(values.reshape(mu.shape))), mu
+            )
+            decoded.append(self._fin(i, self._p, mu_sup, decoded, y_hat_i))
+        y_hat = jnp.concatenate(decoded, axis=-1)
+        x_hat = np.asarray(
+            jax.device_get(self._synth(self._p, y_hat))
+        )
+        return x_hat[0, : int(xshape[0]), : int(xshape[1]), :]
