@@ -28,7 +28,7 @@ from compression_tpu.models import common
 from compression_tpu.util import PackedTensors
 from compression_tpu.util import image as image_util
 
-__all__ = ["BLS2017Model", "Config"]
+__all__ = ["BLS2017Model", "Config", "Codec", "make_codec", "compress", "decompress", "train", "SpatialCodec"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,12 +252,13 @@ def sharded_analyze(model: BLS2017Model, params, x, mesh, axis: str = "data"):
     """
     from compression_tpu.parallel.spatial import sharded_transform_apply
 
-    if model.config.arch != "bls2017":
-        raise NotImplementedError(
-            "sharded_analyze carries the bls2017 transform geometry only"
-        )
     p = params["params"]["analysis"]
     x = jnp.asarray(x, p["conv0"]["kernel"].dtype)  # match param dtype
+    if model.config.arch == "bmshj2018":
+        # Factorized-prior baseline over the bmshj2018 transform pair.
+        from compression_tpu.models import bmshj2018 as _b
+
+        return sharded_transform_apply(p, x, mesh, axis, _b._ANALYSIS_LAYERS)
     return sharded_transform_apply(p, x, mesh, axis, [
         {"name": "conv0", "down": 4, "post": "gdn", "gdn": "gdn0"},
         {"name": "conv1", "down": 2, "post": "gdn", "gdn": "gdn1"},
@@ -279,12 +280,12 @@ def sharded_synthesize(model: BLS2017Model, params, y_hat, mesh,
     """
     from compression_tpu.parallel.spatial import sharded_transform_apply
 
-    if model.config.arch != "bls2017":
-        raise NotImplementedError(
-            "sharded_synthesize carries the bls2017 transform geometry only"
-        )
     p = params["params"]["synthesis"]
     y = jnp.asarray(y_hat, p["conv0"]["kernel"].dtype)
+    if model.config.arch == "bmshj2018":
+        from compression_tpu.models import bmshj2018 as _b
+
+        return sharded_transform_apply(p, y, mesh, axis, _b._SYNTHESIS_LAYERS)
     return sharded_transform_apply(p, y, mesh, axis, [
         {"name": "conv0", "up": 2, "post": "igdn", "gdn": "igdn0"},
         {"name": "conv1", "up": 2, "post": "igdn", "gdn": "igdn1"},
@@ -305,3 +306,64 @@ def compress(model: BLS2017Model, params, image: np.ndarray) -> bytes:
 
 def decompress(model: BLS2017Model, params, data: bytes) -> np.ndarray:
     return make_codec(model, params).decompress(data)
+
+
+class SpatialCodec:
+    """Giant-image factorized-prior codec: one image, transforms H-sharded.
+
+    The simplest family's counterpart of ``bmshj2018.SpatialCodec``; with
+    a factorized prior the CDF rows are fixed per channel, so there is no
+    cross-side row computation to share — only the transforms shard."""
+
+    def __init__(self, model: BLS2017Model, params, mesh, axis="data"):
+        self.codec = make_codec(model, params)
+        self.cfg = model.config
+        self._p = params
+        nd = mesh.shape[axis]
+        self._mult = self.cfg.downscale * nd
+        self._an = jax.jit(
+            lambda p, xu8: sharded_analyze(
+                model, p, xu8.astype(jnp.float32) / 255.0, mesh, axis
+            )
+        )
+        self._synth = jax.jit(
+            lambda p, y: jnp.clip(
+                jnp.round(
+                    sharded_synthesize(model, p, y, mesh, axis) * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+
+    def compress(self, image: np.ndarray) -> bytes:
+        codec = self.codec
+        x = np.asarray(image, np.uint8)[None]
+        h, w = x.shape[1], x.shape[2]
+        hp, wp = -h % self._mult, -w % self.cfg.downscale
+        if hp or wp:
+            x = np.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="edge")
+        y = self._an(self._p, jnp.asarray(x))
+        strings = codec.em.compress(y)
+        packed = PackedTensors()
+        packed.model = self.cfg.model_name
+        packed.pack(
+            [
+                strings[0],
+                np.array([h, w], np.int32),
+                np.array(y.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        codec = self.codec
+        packed = PackedTensors(data)
+        string, xshape, yshape = packed.unpack([object, np.int32, np.int32])
+        y_hat = codec.em.decompress(
+            [bytes(string[0])], tuple(int(v) for v in yshape)
+        )
+        x_hat = np.asarray(
+            jax.device_get(self._synth(self._p, jnp.asarray(y_hat)))
+        )
+        return x_hat[0, : int(xshape[0]), : int(xshape[1]), :]

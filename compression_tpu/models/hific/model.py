@@ -51,6 +51,11 @@ __all__ = [
     "make_train_steps",
     "compress",
     "decompress",
+    "SpatialCodec",
+    "sharded_encode",
+    "sharded_generate",
+    "sharded_encode_latents",
+    "sharded_params",
 ]
 
 
@@ -541,3 +546,88 @@ def sharded_params(model: HificModel, params, z_hat, mesh, axis="data"):
     )
     mu, sigma = jnp.split(out, 2, axis=-1)
     return mu, lower_bound(sigma, SCALES_MIN)
+
+
+class SpatialCodec:
+    """Giant-image generative codec: one image, transforms H-sharded.
+
+    HiFiC's counterpart of ``mbt2018.SpatialCodec``: the ChannelNorm
+    encoder, mbt-style hyper pair, and the residual-trunk Generator run
+    halo-sharded across the mesh; host entropy coding, standard 4-field
+    blob. Encode and decode share ONE compiled sharded z_hat ->
+    (mu, rows) program and the dense Codec's coder-boundary jits."""
+
+    def __init__(self, model: HificModel, params, mesh, axis="data"):
+        self.codec = make_codec(model, params)
+        self.mesh, self.axis = mesh, axis
+        self._p = params
+        nd = mesh.shape[axis]
+        self._mult = 64 * nd
+        em = self.codec.em
+
+        def _front(p, x_uint8):
+            x = x_uint8.astype(jnp.float32) / 255.0
+            return sharded_encode_latents(model, p, x, mesh, axis)
+
+        def _pr(p, z_hat):
+            mu, sigma = sharded_params(model, p, z_hat, mesh, axis)
+            return mu, em.rows(sigma)
+
+        self._front = jax.jit(_front)
+        self._pr = jax.jit(_pr)
+        self._synth = jax.jit(
+            lambda p, y: jnp.clip(
+                jnp.round(
+                    sharded_generate(model, p, y, mesh, axis) * 255.0
+                ),
+                0,
+                255,
+            ).astype(jnp.uint8)
+        )
+
+    def compress(self, image: np.ndarray) -> bytes:
+        codec = self.codec
+        x = np.asarray(image, np.uint8)[None]
+        h, w = x.shape[1], x.shape[2]
+        hp, wp = -h % self._mult, -w % 64
+        if hp or wp:
+            x = np.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="edge")
+        y, z = self._front(self._p, jnp.asarray(x))
+        # Mirror the dense Codec exactly: z round-trips through the coder
+        # so z_hat on both sides is the decoder's reconstruction.
+        z_strings = codec.side_em.compress(z)
+        z_hat = codec.side_em.decompress(z_strings, z.shape[1:3])
+        mu, rows = self._pr(self._p, jnp.asarray(z_hat))
+        sym = np.asarray(jax.device_get(codec._center_round(y, mu)))
+        rows = np.asarray(jax.device_get(rows))
+        y_strings = codec.em.compress_symbols(
+            sym.reshape(1, -1), rows.reshape(1, -1)
+        )
+        packed = PackedTensors()
+        packed.model = codec.name
+        packed.pack(
+            [
+                y_strings[0],
+                z_strings[0],
+                np.array([h, w], np.int32),
+                np.array(z.shape[1:3], np.int32),
+            ]
+        )
+        return packed.string
+
+    def decompress(self, blob: bytes) -> np.ndarray:
+        from compression_tpu.models import device_coding as dc
+
+        codec = self.codec
+        y_strings, z_strings, xshape, zshape = dc.parse_host_blobs([blob])
+        z_hat = codec.side_em.decompress(
+            z_strings, tuple(int(v) for v in zshape)
+        )
+        mu, rows = self._pr(self._p, jnp.asarray(z_hat))
+        rows = np.asarray(jax.device_get(rows))
+        values = codec.em.decode_symbols(y_strings, rows.reshape(1, -1))
+        y_hat = codec._apply_loc(
+            jnp.asarray(values.reshape(rows.shape)), mu
+        )
+        x_hat = np.asarray(jax.device_get(self._synth(self._p, y_hat)))
+        return x_hat[0, : int(xshape[0]), : int(xshape[1]), :]

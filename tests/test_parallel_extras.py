@@ -583,3 +583,70 @@ def test_spatial_codec_ms2020_roundtrip_matches_dense():
     np.testing.assert_allclose(
         out.astype(np.int32), dense_out.astype(np.int32), atol=1
     )
+
+
+def test_spatial_codec_bls2017_roundtrip_matches_dense():
+    """Factorized-prior giant-image codec, including the
+    bmshj2018-factorized arch variant: bitstreams byte-identical to the
+    dense Codec's; reconstructions match within uint8 rounding."""
+    from compression_tpu.models import bls2017
+    from compression_tpu.parallel.data_parallel import make_mesh
+
+    mesh = make_mesh(4, "data")
+    img = (np.random.RandomState(9).rand(256, 64, 3) * 255).astype(np.uint8)
+    for cfg in (
+        bls2017.Config(num_filters=8),
+        bls2017.Config(num_filters=8, num_latents=8, arch="bmshj2018",
+                       model_name="bmshj2018-factorized"),
+    ):
+        model = bls2017.BLS2017Model(cfg)
+        x0 = jnp.asarray(
+            np.random.RandomState(3).rand(1, 256, 64, 3), jnp.float32
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+        )
+        sc = bls2017.SpatialCodec(model, params, mesh)
+        blob = sc.compress(img)
+        dense = bls2017.make_codec(model, params)
+        dense_blob = dense.compress(img)
+        assert blob == dense_blob, f"{cfg.arch}: bitstreams diverged"
+        out = sc.decompress(blob)
+        dense_out = dense.decompress(blob)
+        np.testing.assert_allclose(
+            out.astype(np.int32), dense_out.astype(np.int32), atol=1,
+            err_msg=cfg.arch,
+        )
+
+
+def test_spatial_codec_hific_roundtrip_matches_dense():
+    """Generative giant-image codec: hific.SpatialCodec round-trips and
+    its bitstream is byte-identical to the dense Codec's."""
+    from compression_tpu.models import hific
+    from compression_tpu.models.hific import model as hm
+    from compression_tpu.parallel.data_parallel import make_mesh
+
+    cfg = hific.HificConfig(
+        name="hific-spatial-test", target_rate=0.3, num_latents=8,
+        num_hyperlatents=4, num_residual_blocks=1,
+    )
+    model = hific.HificModel(cfg)
+    x0 = jnp.asarray(
+        np.random.RandomState(3).rand(1, 256, 64, 3), jnp.float32
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), x0, jax.random.PRNGKey(1), training=True
+    )
+    mesh = make_mesh(4, "data")
+    sc = hm.SpatialCodec(model, params, mesh)
+
+    img = (np.random.RandomState(9).rand(256, 64, 3) * 255).astype(np.uint8)
+    blob = sc.compress(img)
+    dense = hm.make_codec(model, params)
+    dense_blob = dense.compress(img)
+    assert blob == dense_blob, "spatial and dense HiFiC bitstreams diverged"
+    out = sc.decompress(blob)
+    dense_out = dense.decompress(blob)
+    np.testing.assert_allclose(
+        out.astype(np.int32), dense_out.astype(np.int32), atol=1
+    )
