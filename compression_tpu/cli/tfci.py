@@ -81,6 +81,34 @@ def cmd_models(args) -> int:
     return 0
 
 
+def _spatial_codec(entry, model, params, n: int):
+    """Builds the family's giant-image SpatialCodec over an n-device mesh
+    (transforms H-sharded; see models/<family>.SpatialCodec)."""
+    import importlib
+
+    import jax as _jax
+
+    from compression_tpu.parallel.data_parallel import make_mesh
+
+    if entry.family not in ("bls2017", "bmshj2018", "mbt2018", "ms2020",
+                            "hific"):
+        raise SystemExit(
+            f"--spatial needs one of the codec families bls2017/bmshj2018/"
+            f"mbt2018/ms2020/hific; got {entry.family!r}"
+        )
+    ndev = len(_jax.devices())
+    if not 1 <= n <= ndev:
+        raise SystemExit(
+            f"--spatial {n}: this process sees {ndev} device(s)"
+        )
+    mod = importlib.import_module(
+        "compression_tpu.models.hific.model" if entry.family == "hific"
+        else f"compression_tpu.models.{entry.family}"
+    )
+    return mod.SpatialCodec(model, params, make_mesh(n))
+
+
+
 def cmd_compress(args) -> int:
     name = args.model
     if getattr(args, "rd_parameter", None) is not None:
@@ -114,6 +142,11 @@ def cmd_compress(args) -> int:
                 f"mbt2018/ms2020/hific); {name!r} is {entry.family}"
             )
         data = entry.compress(model, params, image, coder="device")
+    elif getattr(args, "spatial", None):
+        # Giant-image mode: transforms H-sharded over a device mesh.
+        data = _spatial_codec(entry, model, params, args.spatial).compress(
+            image
+        )
     else:
         data = entry.compress(model, params, image)
     out = args.output or args.input + ".tfci"
@@ -142,6 +175,10 @@ def cmd_decompress(args) -> int:
 
         codec = _bmshj.make_codec(model, params)
         image = codec.decompress_batch_jit([data])[0]
+    elif getattr(args, "spatial", None):
+        image = _spatial_codec(
+            entry, model, params, args.spatial
+        ).decompress(data)
     else:
         image = entry.decompress(model, params, data)
     out = args.output or os.path.splitext(args.input)[0] + ".png"
@@ -379,6 +416,13 @@ def main(argv=None) -> int:
         "cross the device link (bmshj2018 family only; decompress "
         "auto-detects the format)",
     )
+    sp.add_argument(
+        "--spatial", type=int, default=None, metavar="N",
+        help="giant-image mode: run the transforms H-sharded over an "
+        "N-device mesh (halo exchange over ICI); entropy coding stays on "
+        "the host. Decode a spatially-coded stream with the same mesh "
+        "size for guaranteed bit-exact row math",
+    )
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress", help="decompress a .tfci to PNG")
@@ -389,6 +433,13 @@ def main(argv=None) -> int:
         "--jit", action="store_true",
         help="decode through the single-compiled-program path (entropy "
         "decoding via in-jit callbacks; bmshj2018 family only)",
+    )
+    sp.add_argument(
+        "--spatial", type=int, default=None, metavar="N",
+        help="giant-image mode: run the transforms H-sharded over an "
+        "N-device mesh (halo exchange over ICI); entropy coding stays on "
+        "the host. Decode a spatially-coded stream with the same mesh "
+        "size for guaranteed bit-exact row math",
     )
     sp.set_defaults(fn=cmd_decompress)
 

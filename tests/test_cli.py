@@ -168,3 +168,41 @@ def test_full_cycle_alias_name_roundtrip(cli_env):
     assert PackedTensors(open(tfci, "rb").read()).model == "bmshj2018"
     assert _main(["decompress", tfci, out_png]) == 0
     assert image_util.read_png(out_png).shape == img.shape
+
+
+def test_spatial_flag_roundtrip(cli_env):
+    """--spatial N: compress + decompress with the transforms H-sharded
+    over an N-device mesh; the reconstruction matches the dense decode of
+    the same spatial stream within uint8 rounding."""
+    tmp_path, png, img = cli_env
+    assert _main([
+        "train", "bls2017", "--steps", "2", "--batch-size", "2",
+        "--patch-size", "32",
+    ]) == 0
+    tfci = str(tmp_path / "sp.tfci")
+    out_png = str(tmp_path / "sp.png")
+    assert _main(["compress", "bls2017", png, tfci, "--spatial", "4"]) == 0
+    assert _main(["decompress", tfci, out_png, "--spatial", "4"]) == 0
+    recon = image_util.read_png(out_png)
+    assert recon.shape == img.shape
+    dense_png = str(tmp_path / "sp_dense.png")
+    assert _main(["decompress", tfci, dense_png]) == 0
+    dense = image_util.read_png(dense_png)
+    np.testing.assert_allclose(
+        recon.astype(np.int32), dense.astype(np.int32), atol=1
+    )
+
+
+def test_spatial_flag_rejects_unsupported_family(cli_env):
+    import pytest as _pytest
+
+    tmp_path, png, img = cli_env
+    assert _main([
+        "train", "b2018", "--steps", "2", "--batch-size", "2",
+        "--patch-size", "32",
+    ]) == 0
+    with _pytest.raises(SystemExit, match="spatial"):
+        _main([
+            "compress", "b2018-gdn-128-2", png, str(tmp_path / "x.tfci"),
+            "--spatial", "2",
+        ])
