@@ -174,3 +174,48 @@ def test_rd_report_bd_psnr_recovers_known_offset(tmp_path):
     # Parser sanity.
     bpp, psnr, ms = read_mean_row(str(tmp_path / "ms2020-q1.csv"))
     assert abs(bpp - 0.1) < 1e-9 and ms == 0.9
+
+
+def test_rd_report_curve_hygiene(tmp_path):
+    """msssim-trained rows form their own family, factorized is not on
+    the hyperprior curve, genseen/genfresh/96px rows are table-only, and
+    a CURVES.json manifest pins the canonical (matched-budget) stems."""
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.rd_report import collect, curve_points, family_of
+
+    assert family_of("ms2020-msssim-q5") == "ms2020-msssim"
+    assert family_of("bmshj2018-factorized-q3") == "bmshj2018-factorized"
+    assert family_of("bmshj2018-q3") == "bmshj2018"
+    assert family_of("mbt2018-long") == "mbt2018"
+
+    def write(stem, bpp, psnr):
+        (tmp_path / f"{stem}.csv").write_text(
+            "image,bpp,psnr,msssim\n"
+            f"0.png,{bpp},{psnr},0.9\nmean,{bpp},{psnr},0.9\n"
+        )
+
+    write("ms2020", 0.09, 37.0)
+    write("ms2020-q5", 0.10, 37.1)
+    write("ms2020-genseen", 0.12, 35.5)   # seen-image probe: table-only
+    write("ms2020-msssim-q5", 0.14, 16.4) # own family, never on PSNR curve
+    write("mbt2018", 0.20, 30.9)          # short-budget row
+    write("mbt2018-long", 0.12, 35.8)
+    write("mbt2018-q1-long", 0.08, 34.0)
+    fams = collect(str(tmp_path))
+    assert [p[3] for p in fams["ms2020-msssim"]] == ["ms2020-msssim-q5"]
+
+    # No manifest: all eligible points (table-only rows still excluded).
+    pts, canonical = curve_points(fams, "ms2020", {})
+    assert not canonical and [p[3] for p in pts] == ["ms2020", "ms2020-q5"]
+
+    # Manifest pins matched-budget stems; the 10k mbt2018 row drops out.
+    manifest = {"mbt2018": ["mbt2018-long", "mbt2018-q1-long"]}
+    pts, canonical = curve_points(fams, "mbt2018", manifest)
+    assert canonical and [p[3] for p in pts] == ["mbt2018-q1-long", "mbt2018-long"]
+
+    # A manifest naming <2 present stems falls back to every eligible row.
+    pts, canonical = curve_points(fams, "mbt2018", {"mbt2018": ["absent"]})
+    assert not canonical and len(pts) == 3
