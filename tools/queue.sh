@@ -1,0 +1,112 @@
+#!/bin/bash
+# Parameterized chip-queue runner (consolidates the round3_*.sh one-shots).
+#
+# Usage:
+#   bash tools/queue.sh queue <specfile> [DEADLINE="YYYY-MM-DD HH:MM"]
+#
+# Spec file lines (executed in order; '#' comments and blanks skipped):
+#   dataset <n>                         — ensure /tmp/tpc_data has n train imgs
+#   run <name> <steps> <timeout_s> <csv> [extra tfci-train args...]
+#       — fresh run: wipe resume state, train, promote, eval to results/
+#         synthetic/<csv>, commit the row. Skipped if the csv exists or
+#         the deadline leaves no room.
+#   report                              — regenerate RD_REPORT.md + commit
+#   cmd <shell...>                      — arbitrary command (best-effort)
+#
+# Launch detached:
+#   setsid nohup bash tools/queue.sh queue tools/round4.queue \
+#     > /tmp/queue.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+# Chip lock is taken PER QUEUE ITEM (not for the whole queue) so that
+# interactive bench/validation runs can interleave between training runs:
+# grab it the same way (flock /tmp/r3fc.lock) before touching the chip.
+LOCK=/tmp/r3fc.lock
+echo $$ > /tmp/queue.pid
+export PYTHONUNBUFFERED=1
+export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
+export TPC_MODEL_DIR=${TPC_MODEL_DIR:-/root/.cache/compression_tpu}
+mkdir -p "$TPC_MODEL_DIR"
+DATA=${DATA:-/tmp/tpc_data}
+TFCI="python -m compression_tpu.cli.tfci"
+R=results/synthetic
+DEADLINE=${DEADLINE:-$(date -u -d '+10 hours' +%s)}
+case "$DEADLINE" in
+  *[!0-9]*) DEADLINE=$(date -u -d "$DEADLINE" +%s) ;;
+esac
+
+step() { echo "=== $* $(date -u +%H:%M:%S) ==="; }
+try() { "$@" || echo "!!! FAILED rc=$? ($*) — continuing"; }
+left() { echo $(( DEADLINE - $(date -u +%s) )); }
+row_commit() {
+  git add "$R" 2>/dev/null
+  git diff --cached --quiet || git commit -q -m "$1" || true
+}
+
+q_dataset() {
+  local n=$1
+  local have
+  have=$(ls "$DATA/train" 2>/dev/null | wc -l)
+  if [ "$have" -ne "$n" ]; then
+    step "regenerating dataset ($have != $n images present)"
+    rm -rf "$DATA"
+    try python tools/make_synthetic_set.py "$DATA" "$n"
+  else
+    step "dataset ok ($n train images)"
+  fi
+}
+
+q_run() {
+  local name=$1 steps=$2 tmo=$3 csv=$4; shift 4
+  [ -f "$R/$csv" ] && { step "skip $name ($csv exists)"; return 0; }
+  [ "$(left)" -gt $(( tmo + 2100 )) ] || { step "skip $name (time: $(left)s left < $tmo+2100)"; return 0; }
+  step "fresh $steps-step run: $name -> $csv"
+  rm -f "$TPC_MODEL_DIR/$name.train.msgpack" \
+        "$TPC_MODEL_DIR/$name.train.msgpack.metrics.csv"
+  try timeout "$tmo" $TFCI train "$name" --glob "$DATA/train/*.png" \
+    --steps "$steps" --batch-size 8 --patch-size 256 \
+    --lr-schedule cosine --checkpoint-every 2500 "$@"
+  try python tools/promote_train_ckpt.py "$name"
+  step "eval $name -> $csv"
+  try timeout 1800 $TFCI eval "$name" "$DATA/eval/*.png" --csv "$R/$csv"
+  row_commit "results: $name $steps-step run (640-img set)"
+}
+
+q_report() {
+  step "regenerate R-D report"
+  try bash -c "python tools/rd_report.py > $R/RD_REPORT.md"
+  git add "$R" 2>/dev/null
+  git diff --cached --quiet || git commit -q -m "results: regenerated R-D report" || true
+}
+
+with_lock() {
+  (
+    exec 9>"$LOCK"
+    flock 9
+    "$@"
+  )
+}
+
+run_queue() {
+  local spec=$1
+  while IFS= read -r line || [ -n "$line" ]; do
+    case "$line" in
+      ''|'#'*) continue ;;
+    esac
+    set -- $line
+    local verb=$1; shift
+    case "$verb" in
+      dataset) with_lock q_dataset "$@" ;;
+      run)     with_lock q_run "$@" ;;
+      report)  q_report ;;
+      cmd)     step "cmd: $*"; with_lock try bash -c "$*" ;;
+      *)       echo "!!! unknown spec verb: $verb" ;;
+    esac
+  done < "$spec"
+  step "queue $spec done"
+}
+
+case "${1:-}" in
+  queue) run_queue "$2" ;;
+  *) echo "usage: bash tools/queue.sh queue <specfile>"; exit 2 ;;
+esac
