@@ -97,6 +97,35 @@ class TrainConfig:
     augment: bool = True
 
 
+def write_metrics_row(
+    checkpoint_dir: str, checkpoint_name: str, step: int, m: dict, rate: float
+) -> None:
+    """Metrics sink (the reference's TensorBoard-scalars role): an
+    append-only CSV next to the checkpoints. If a resumed run's metric
+    set changed (e.g. a loss recipe revision dropping a column), the old
+    file is rotated aside rather than appending misaligned rows under a
+    stale header."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    csv_path = os.path.join(checkpoint_dir, checkpoint_name + ".metrics.csv")
+    keys = sorted(m)
+    header = "step," + ",".join(keys) + ",img_per_s\n"
+    new_file = not os.path.exists(csv_path)
+    if not new_file:
+        with open(csv_path) as f:
+            old_header = f.readline()
+        if old_header != header:
+            os.replace(csv_path, csv_path + ".prev")
+            new_file = True
+    with open(csv_path, "a") as f:
+        if new_file:
+            f.write(header)
+        f.write(
+            f"{step},"
+            + ",".join(f"{m[k]:.6g}" for k in keys)
+            + f",{rate:.2f}\n"
+        )
+
+
 def _load_images(pattern: str, max_images: int = 2000):
     paths = sorted(globlib.glob(pattern))[:max_images]
     if not paths:
@@ -334,33 +363,9 @@ def train_model(
             line = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
             print(f"step {step}: {line} ({rate:.1f} img/s)")
             if cfg.checkpoint_dir:
-                # Metrics sink (the reference's TensorBoard-scalars role):
-                # an append-only CSV next to the checkpoints.
-                os.makedirs(cfg.checkpoint_dir, exist_ok=True)
-                csv_path = os.path.join(
-                    cfg.checkpoint_dir, cfg.checkpoint_name + ".metrics.csv"
+                write_metrics_row(
+                    cfg.checkpoint_dir, cfg.checkpoint_name, step, m, rate
                 )
-                keys = sorted(m)
-                header = "step," + ",".join(keys) + ",img_per_s\n"
-                new_file = not os.path.exists(csv_path)
-                if not new_file:
-                    # A resumed run whose metric set changed (e.g. a loss
-                    # recipe revision dropping a column) must not append
-                    # misaligned rows under the old header: rotate the
-                    # old file aside and start a fresh one.
-                    with open(csv_path) as f:
-                        old_header = f.readline()
-                    if old_header != header:
-                        os.replace(csv_path, csv_path + ".prev")
-                        new_file = True
-                with open(csv_path, "a") as f:
-                    if new_file:
-                        f.write(header)
-                    f.write(
-                        f"{step},"
-                        + ",".join(f"{m[k]:.6g}" for k in keys)
-                        + f",{rate:.2f}\n"
-                    )
             if hooks:
                 hooks(step, m)
         if cfg.checkpoint_dir and (

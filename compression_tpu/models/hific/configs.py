@@ -23,10 +23,21 @@ class HificConfig:
     # k_mse puts lambda_a's rate coefficient in bmshj2018-lambda units as
     # lambda_a / (k_mse * 255^2-scale) — the old 0.1 was equivalent to a
     # high-quality ~1 bpp operating point, which is why early checkpoints
-    # sat at 2.8 bpp with the hinge "on". 1.0 matches the rate pressure of
-    # a sub-0.14-bpp codec; lambda_b keeps the relax arm's equilibrium
-    # above target so the hinge pins bpp AT the target from below.
-    lambda_a: float = 1.0         # rate weight when bpp > target (push down)
+    # sat at 2.8 bpp with the hinge "on".
+    #
+    # Round-3 evidence set the current value: with lambda_a=1.0 ALL THREE
+    # configs converged to ~0.25-0.28 bpp regardless of target — the
+    # signature of a saturated hinge. lambda_a's own equilibrium rate on
+    # this data (~0.25 bpp) sat ABOVE hific-lo's 0.14 target, so for lo
+    # the push-down arm was permanently on and bpp settled at lambda_a's
+    # equilibrium, not the target; mi/hi then landed in the same band via
+    # the patch-vs-eval statistics gap. A bang-bang controller only
+    # regulates when each arm's equilibrium brackets every target:
+    # lambda_a=8.0 puts the push-down equilibrium well below 0.14 (rate
+    # pressure of a ~0.03-bpp codec in bmshj-lambda units), letting the
+    # duty cycle — logged as ``hinge_on`` in training metrics — do the
+    # regulating for all three operating points.
+    lambda_a: float = 8.0         # rate weight when bpp > target (push down)
     lambda_b: float = 2.0 ** -4   # rate weight when bpp <= target (relax)
     k_mse: float = 0.075 * 2.0 ** -5
     k_lpips: float = 1.0

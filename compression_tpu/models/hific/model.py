@@ -158,6 +158,13 @@ def make_loss_fns(
             "mse": mse,
             "lpips": perceptual,
             "g_gan": gan_loss,
+            # Hinge instrumentation (VERDICT r3 item 2): 1.0 while the
+            # push-down arm is active. Its running mean over training is
+            # the controller duty cycle — ~1.0 means lambda_a saturated
+            # (equilibrium above target, bpp NOT regulated by the target),
+            # ~0.0 means lambda_b saturated; a healthy bang-bang
+            # controller oscillates strictly between.
+            "hinge_on": (hinge_bpp > cfg.target_rate).astype(jnp.float32),
             "x_hat": x_hat,
             "y_hat": y_hat,
         }

@@ -68,12 +68,21 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig):
         )
         if step % train_cfg.log_every == 0 or step == train_cfg.steps:
             m = {k: float(v) for k, v in metrics.items()}
+            m["target"] = cfg.target_rate
             rate = step * train_cfg.batch_size / (time.time() - t0)
             print(
                 f"step {step}: "
                 + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                 + f" ({rate:.1f} img/s)"
             )
+            if train_cfg.checkpoint_dir:
+                # Same sink as the other families; bpp vs target and the
+                # hinge_on duty cycle make the rate controller's dynamics
+                # auditable offline (VERDICT r3 item 2).
+                common.write_metrics_row(
+                    train_cfg.checkpoint_dir, f"{cfg.name}.msgpack",
+                    step, m, rate,
+                )
         if train_cfg.checkpoint_dir and (
             step % train_cfg.checkpoint_every == 0 or step == train_cfg.steps
         ):
