@@ -69,7 +69,7 @@ def link_probe(reps: int = 5, mb: int = 8):
     return scale / float(np.median(h2d)), scale / float(np.median(d2h))
 
 
-def compute_only_metric(codec, images: np.ndarray, rounds: int):
+def compute_only_metric(codec, images: np.ndarray, rounds: int, k=None):
     """img/s of the device-resident encode+decode chain (link excluded).
 
     Mirrors the device-coder product path's device work exactly —
@@ -87,6 +87,12 @@ def compute_only_metric(codec, images: np.ndarray, rounds: int):
     x, _hw = codec._pad_np(np.asarray(images, np.uint8), codec.cfg.downscale)
     x_dev = jax.device_put(jnp.asarray(x))
     n = x.shape[0]
+    # The decoder consumes a power-of-two stream bucket, as the product
+    # path does (device_coding.pad_words) — NOT the encoder's worst-case
+    # capacity buffer, whose width would turn every per-step gather into
+    # an HBM-resident one the product decode never performs. The bucket
+    # is sized once from a warmup encode's actual lengths.
+    bucket = {}
 
     def once():
         _y8, _y16, _z16, z_hat, _fits, y32, _z32 = codec._front(
@@ -95,15 +101,21 @@ def compute_only_metric(codec, images: np.ndarray, rounds: int):
         sigma = codec._sigma(z_hat)
         rows = codec.em.rows(sigma)
         N = int(np.prod(sigma.shape[1:]))
-        enc, dec, _K, _cap = codec._rans(N)
+        enc, dec, _K, _cap = codec._rans(N, k)
         ri = rows.astype(jnp.int32).reshape(n, -1)
         stream, lengths, overflow = enc(y32.reshape(n, -1), ri)
-        values, ok = dec(stream, ri)
+        if not bucket:
+            cap = 1024
+            longest = int(np.max(np.asarray(lengths)))
+            while cap < longest:
+                cap *= 2
+            bucket["cap"] = cap
+        values, ok = dec(stream[:, : bucket["cap"]], ri)
         x_hat = codec._synthesize(values.reshape(sigma.shape))
         return x_hat, lengths, overflow, ok
 
-    # Warmup: compiles the chain (the dec jit at the encoder's stream
-    # capacity is a fresh program) and validates the round trip once.
+    # Warmup: compiles the chain (the dec jit at the bucket width is a
+    # fresh program) and validates the round trip once.
     x_hat, lengths, overflow, ok = once()
     x_hat.block_until_ready()
     assert not bool(np.any(np.asarray(overflow))), "rANS capacity overflow"
