@@ -142,6 +142,33 @@ def ssim(a, b, max_val: float = 255.0):
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
+_GRAD_FLOOR = 1e-2
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _weighted_term(v, w):
+    """``max(v, 0) ** w`` with a bounded derivative, for use as a training
+    loss term.
+
+    The exact relu-clamped power has ``d/dv = w * v**(w-1) -> inf`` as
+    ``v -> 0+`` (and NaN at exactly 0), and early-training contrast terms
+    routinely touch 0. One such spike permanently inflates Adam's
+    second-moment estimates and freezes the run (observed:
+    ms2020-msssim-q5 stuck at 16.45 dB, round 3). The primal is EXACTLY
+    ``max(v, 0) ** w`` (eval values bit-identical); the derivative is
+    evaluated at ``max(v, _GRAD_FLOOR)`` instead, bounding it by
+    ``w * _GRAD_FLOOR**(w-1)`` (~3.6 at the smallest standard weight).
+    """
+    return jnp.maximum(v, 0.0) ** w
+
+
+@_weighted_term.defjvp
+def _weighted_term_jvp(w, primals, tangents):
+    (v,), (dv,) = primals, tangents
+    vf = jnp.maximum(v, _GRAD_FLOOR)
+    return jnp.maximum(v, 0.0) ** w, (w * vf ** (w - 1.0)) * dv
+
+
 def _as_batch(x):
     x = jnp.asarray(x, jnp.float32)
     return x[None] if x.ndim == 3 else x
@@ -182,7 +209,7 @@ def msssim(a, b, max_val: float = 255.0):
     for i, w in enumerate(_MSSSIM_WEIGHTS):
         s, cs = _ssim_per_scale(a, b, max_val)
         v = s if i == last else cs
-        values.append(jnp.maximum(v, 0.0) ** w)
+        values.append(_weighted_term(v, w))
         if i < last:
             a = _avg_pool2(a)
             b = _avg_pool2(b)

@@ -112,6 +112,35 @@ def test_metrics_psnr_msssim():
     assert float(im.msssim(jnp.asarray(a, jnp.float32), jnp.asarray(noisy, jnp.float32))[0]) < 1.0
 
 
+def test_msssim_training_gradient_safe():
+    """msssim as a TRAINING loss: gradients stay finite and bounded even
+    when a scale's contrast term touches <= 0 (anti-correlated inputs),
+    where the exact relu-clamped power's gradient blows up / NaNs.
+    Root cause of the round-3 ms2020-msssim-q5 freeze (16.45 dB)."""
+    from compression_tpu.util import image as im
+
+    rs = np.random.RandomState(7)
+    base = rs.rand(1, 192, 192, 3).astype(np.float32)
+
+    def loss(b):
+        return 1.0 - jnp.mean(im.msssim(jnp.asarray(base), b, max_val=1.0))
+
+    # Anti-correlated reconstruction drives sigma_ab < 0 -> cs <= 0.
+    g = jax.grad(loss)(jnp.asarray(1.0 - base))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) < 1e3
+    # Exactly at the clamp point (identical flat images -> variance 0 at
+    # machine precision can sit at the relu corner).
+    flat = jnp.full((1, 192, 192, 3), 0.5, jnp.float32)
+    g2 = jax.grad(lambda b: 1.0 - jnp.mean(im.msssim(flat, b, max_val=1.0)))(flat)
+    assert np.all(np.isfinite(np.asarray(g2)))
+    # Value is EXACTLY the relu-clamped spec (gradient path only differs).
+    pts = jnp.asarray([-0.5, 0.0, 1e-3, 0.5, 1.0], jnp.float32)
+    v = im._weighted_term(pts, 0.0448)
+    expect = jnp.maximum(pts, 0.0) ** 0.0448
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(expect))
+
+
 def _np_msssim_f64(a, b, max_val=255.0):
     """Float64 NumPy executable spec of msssim (Wang et al. 2003), used to
     pin the JAX implementation's numerics. Mirrors util/image.py: 11-tap
