@@ -39,6 +39,20 @@ class HificConfig:
     # regulating for all three operating points.
     lambda_a: float = 8.0         # rate weight when bpp > target (push down)
     lambda_b: float = 2.0 ** -4   # rate weight when bpp <= target (relax)
+    # The hinge compares the INTERIOR latent rate against target_rate, not
+    # the whole-patch rate. Round-4 diagnosis (tools/diag_hific_rate.py):
+    # per-latent bits form a ring profile — latents within ~3 positions of
+    # the patch edge cost ~10-30 bits (conv edge-padding flattens their
+    # support) while interior latents cost ~140-180. On a 128px training
+    # patch (8x8 latent grid) nearly EVERY latent is in the cheap boundary
+    # regime, so the whole-patch bpp the hinge regulated ran ~4x below the
+    # interior rate that dominates a 768x512 eval image — all three
+    # operating points then landed at the same ~0.5 eval bpp (rate-
+    # inverted, round-3/4 results). Hinging on latents >= this many
+    # positions from the edge regulates the statistic that actually
+    # transfers to full-size images; eval bpp then approaches the target
+    # from below as the boundary fraction shrinks.
+    hinge_boundary_ring: int = 3
     k_mse: float = 0.075 * 2.0 ** -5
     k_lpips: float = 1.0
     k_gan: float = 0.15

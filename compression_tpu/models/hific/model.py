@@ -79,8 +79,15 @@ class HificModel(nn.Module):
         )
 
     def __call__(self, x, rng, training: bool = True):
-        """Returns (x_hat, y_hat, bpp)."""
-        rng_y, rng_z = jax.random.split(rng)
+        """Returns (x_hat, y_hat, bpp, hinge_bpp).
+
+        ``bpp`` is the whole-input rate (the loss's rate term);
+        ``hinge_bpp`` is the interior-latent rate the target controller
+        compares against ``target_rate`` (see
+        ``HificConfig.hinge_boundary_ring`` for why the two differ on
+        small training patches).
+        """
+        rng_y, rng_z, rng_in = jax.random.split(rng, 3)
         y = self.encoder(x)
         z = self.hyper_analysis(y)
         side_em = ContinuousBatchedEntropyModel(self.hyperprior(), coding_rank=3)
@@ -93,8 +100,24 @@ class HificModel(nn.Module):
         y_hat = em.quantize(y, loc=mu)
         x_hat = self.generator(y_hat)
         num_pixels = x.shape[1] * x.shape[2]
-        bpp = (jnp.mean(y_bits) + jnp.mean(z_bits)) / num_pixels
-        return x_hat, y_hat, bpp
+        z_bpp = jnp.mean(z_bits) / num_pixels
+        bpp = jnp.mean(y_bits) / num_pixels + z_bpp
+        # Interior rate for the hinge: y latents >= `ring` positions from
+        # every edge, normalized per covered pixel (16x16 px per latent).
+        # z stays whole-patch (its grid is too small to have an interior
+        # at training patch sizes; its boundary bias points the same way).
+        ring = self.config.hinge_boundary_ring
+        hy, wy = y.shape[1], y.shape[2]
+        if hy > 2 * ring and wy > 2 * ring:
+            sl = (slice(None), slice(ring, hy - ring), slice(ring, wy - ring))
+            _, y_bits_in = em(
+                y[sl], sigma[sl], loc=mu[sl], rng=rng_in, training=training
+            )
+            in_px = (hy - 2 * ring) * (wy - 2 * ring) * 16 * 16
+            hinge_bpp = jnp.mean(y_bits_in) / in_px + z_bpp
+        else:
+            hinge_bpp = bpp
+        return x_hat, y_hat, bpp, hinge_bpp
 
     def encode_latents(self, x):
         y = self.encoder(x)
@@ -128,7 +151,9 @@ def make_loss_fns(
     """
 
     def g_loss_fn(g_params, d_vars, batch, rng, pmean_axis=None):
-        x_hat, y_hat, bpp = model.apply(g_params, batch, rng, training=True)
+        x_hat, y_hat, bpp, hinge_bpp = model.apply(
+            g_params, batch, rng, training=True
+        )
         mse = jnp.mean(jnp.square(batch - x_hat)) * (255.0**2)
         perceptual = jnp.mean(
             lpips_model.apply(
@@ -139,12 +164,15 @@ def make_loss_fns(
             d_vars, x_hat, jax.lax.stop_gradient(y_hat), update_stats=False
         )
         gan_loss = jnp.mean(jax.nn.softplus(-logits_fake))  # -log D(x_hat)
-        # Rate hinge on the global-batch bpp: under DP the local shard's
-        # bpp is only 1/n of the evidence; hinging per-device would let
-        # different devices pick different lambdas (reference model.py
-        # rate targeting is a whole-batch decision).
+        # Rate hinge on the global-batch INTERIOR bpp: under DP the local
+        # shard's bpp is only 1/n of the evidence; hinging per-device would
+        # let different devices pick different lambdas (reference model.py
+        # rate targeting is a whole-batch decision). Interior vs whole-patch:
+        # see HificConfig.hinge_boundary_ring.
         hinge_bpp = (
-            jax.lax.pmean(bpp, pmean_axis) if pmean_axis is not None else bpp
+            jax.lax.pmean(hinge_bpp, pmean_axis)
+            if pmean_axis is not None
+            else hinge_bpp
         )
         lam = jnp.where(hinge_bpp > cfg.target_rate, cfg.lambda_a, cfg.lambda_b)
         loss = (
@@ -155,6 +183,7 @@ def make_loss_fns(
         )
         aux = {
             "bpp": bpp,
+            "hinge_bpp": hinge_bpp,
             "mse": mse,
             "lpips": perceptual,
             "g_gan": gan_loss,

@@ -35,7 +35,7 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig):
     rng = jax.random.PRNGKey(train_cfg.seed)
     rng, g_rng, d_rng = jax.random.split(rng, 3)
     g_params = model.init(g_rng, batch0, jax.random.PRNGKey(1), training=True)
-    x_hat0, y_hat0, _ = model.apply(
+    x_hat0, y_hat0, _, _ = model.apply(
         g_params, batch0, jax.random.PRNGKey(2), training=True
     )
     d_vars = disc.init(d_rng, batch0, y_hat0, update_stats=False)

@@ -58,10 +58,11 @@ def test_joint_train_step_and_roundtrip():
     g_params = model.init(
         jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), training=True
     )
-    x_hat0, y_hat0, bpp0 = model.apply(
+    x_hat0, y_hat0, bpp0, hinge_bpp0 = model.apply(
         g_params, batch, jax.random.PRNGKey(2), training=True
     )
     assert np.isfinite(float(bpp0))
+    assert np.isfinite(float(hinge_bpp0))
     d_vars = disc.init(jax.random.PRNGKey(4), batch, y_hat0, update_stats=False)
 
     step, g_tx, d_tx = hific.make_train_steps(model, disc, lpips, lp, cfg)
@@ -160,7 +161,7 @@ def test_dp_gan_step_matches_single_device():
     g_params = model.init(
         jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), training=True
     )
-    _, y_hat0, _ = model.apply(
+    _, y_hat0, _, _ = model.apply(
         g_params, batch, jax.random.PRNGKey(2), training=True
     )
     d_vars = disc.init(jax.random.PRNGKey(4), batch, y_hat0, update_stats=False)
