@@ -252,6 +252,27 @@ def cmd_train(args) -> int:
         lr_schedule=args.lr_schedule,
         lr_final_scale=args.lr_final_scale,
     )
+    # --init-from: warm-start from another trained model of the SAME family
+    # (e.g. fine-tune -msssim variants from their -mse twins — training
+    # msssim from scratch converges to a luminance-drifted solution, see
+    # tools/diag_ms2020_msssim.py; the reference's practice of separate
+    # -mse/-msssim zoo checkpoints is reproduced by fine-tuning).
+    warm = None
+    if getattr(args, "init_from", None):
+        src_entry, src_ckpt = registry.resolve(args.init_from)
+        if src_entry.family != family:
+            raise SystemExit(
+                f"--init-from {args.init_from!r} is family "
+                f"{src_entry.family}, target is {family} — architectures "
+                f"must match to transfer parameters"
+            )
+        if src_ckpt is None:
+            raise SystemExit(
+                f"--init-from {args.init_from!r}: no checkpoint in "
+                f"{registry.model_dir()}"
+            )
+        _, _, warm = _load_model(args.init_from)
+        print(f"warm-start from {args.init_from} ({src_ckpt})")
     if family == "hific":
         from compression_tpu.models import hific
 
@@ -260,6 +281,11 @@ def cmd_train(args) -> int:
                 "--lmbda does not apply to HiFiC (it uses target_rate + "
                 "loss weights from its named config; edit "
                 "models/hific/configs.py or pick hific-lo/mi/hi)"
+            )
+        if warm is not None:
+            raise SystemExit(
+                "--init-from is not supported for HiFiC (its training "
+                "state is a (G, D) pair, not one params tree)"
             )
         model, params, _ = hific.train(hific.get_config(args.model), tc)
     else:
@@ -278,7 +304,7 @@ def cmd_train(args) -> int:
                     f"ladder; pick a quality at compress time instead)"
                 )
             cfg = _dc.replace(cfg, lmbda=args.lmbda)
-        model, params = mod.train(cfg, tc)
+        model, params = mod.train(cfg, tc, params=warm)
     # Variable-rate families save under their base name (one checkpoint
     # serves all rate points) — checkpoint_path knows.
     path = registry.checkpoint_path(args.model)
@@ -482,6 +508,11 @@ def main(argv=None) -> int:
              "recipe), cosine = smooth decay to lr * lr-final-scale",
     )
     sp.add_argument("--lr-final-scale", type=float, default=0.1)
+    sp.add_argument(
+        "--init-from", default=None, metavar="MODEL",
+        help="warm-start parameters from another trained model of the "
+             "same family (fine-tuning, e.g. -msssim from its -mse twin)",
+    )
     sp.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
