@@ -206,3 +206,45 @@ def test_spatial_flag_rejects_unsupported_family(cli_env):
             "compress", "b2018-gdn-128-2", png, str(tmp_path / "x.tfci"),
             "--spatial", "2",
         ])
+
+
+def test_train_init_from_warm_start(cli_env):
+    """--init-from transfers the source model's parameters (fine-tune
+    path: -msssim variants start from their -mse twins; from-scratch
+    msssim converges to a luminance-drifted solution, see
+    tools/diag_ms2020_msssim.py)."""
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    from compression_tpu.cli import registry
+
+    assert _main([
+        "train", "bls2017-factorized-mse-5", "--steps", "3",
+        "--batch-size", "2", "--patch-size", "32",
+    ]) == 0
+    src = registry.checkpoint_path("bls2017-factorized-mse-5")
+    src_tree = serialization.msgpack_restore(open(src, "rb").read())
+
+    # 0-step fine-tune: params must equal the source exactly.
+    assert _main([
+        "train", "bls2017-factorized-msssim-5", "--steps", "0",
+        "--batch-size", "2", "--patch-size", "32",
+        "--init-from", "bls2017-factorized-mse-5",
+    ]) == 0
+    dst = registry.checkpoint_path("bls2017-factorized-msssim-5")
+    dst_tree = serialization.msgpack_restore(open(dst, "rb").read())
+    src_leaves = jax.tree.leaves(src_tree["params"])
+    dst_leaves = jax.tree.leaves(dst_tree["params"])
+    assert len(src_leaves) == len(dst_leaves)
+    for a, b in zip(src_leaves, dst_leaves):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_train_init_from_family_mismatch(cli_env):
+    with pytest.raises(SystemExit):
+        _main([
+            "train", "mbt2018-mean-mse-5", "--steps", "1",
+            "--batch-size", "2", "--patch-size", "32",
+            "--init-from", "bls2017-factorized-mse-5",
+        ])
