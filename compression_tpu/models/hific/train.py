@@ -23,6 +23,15 @@ __all__ = ["train"]
 
 
 def train(cfg: HificConfig, train_cfg: common.TrainConfig):
+    # The encoder downsamples 16x and the hyper pair another 4x; a patch
+    # that is not a multiple of 64 gives a y grid the hyper-synthesis
+    # upsample cannot reproduce (e.g. 160px -> 10x10 y but mu 12x12) and
+    # training fails with an opaque broadcast error deep in the loss.
+    if train_cfg.patch_size % 64:
+        raise ValueError(
+            f"HiFiC patch_size must be a multiple of 64 (16x encoder "
+            f"stride x 4x hyper stride); got {train_cfg.patch_size}"
+        )
     model = HificModel(cfg)
     disc = archs.Discriminator()
     lpips_model, lpips_params = make_lpips(train_cfg.patch_size)

@@ -63,9 +63,15 @@ q_run() {
   step "fresh $steps-step run: $name -> $csv"
   rm -f "$TPC_MODEL_DIR/$name.train.msgpack" \
         "$TPC_MODEL_DIR/$name.train.msgpack.metrics.csv"
-  try timeout "$tmo" $TFCI train "$name" --glob "$DATA/train/*.png" \
+  # No fall-through on a failed train: evaluating whatever stale
+  # checkpoint happens to share the name would commit a row whose label
+  # (fresh run) does not match its provenance.
+  if ! timeout "$tmo" $TFCI train "$name" --glob "$DATA/train/*.png" \
     --steps "$steps" --batch-size 8 --patch-size 256 \
-    --lr-schedule cosine --checkpoint-every 2500 "$@"
+    --lr-schedule cosine --checkpoint-every 2500 "$@"; then
+    step "TRAIN FAILED: $name — skipping promote/eval for this item"
+    return 0
+  fi
   try python tools/promote_train_ckpt.py "$name"
   step "eval $name -> $csv"
   try timeout 1800 $TFCI eval "$name" "$DATA/eval/*.png" --csv "$R/$csv"
