@@ -1,0 +1,48 @@
+"""Diagnose the round-4c HiFiC regression: 192px runs never learn (mse
+flat at dataset variance ~5400 -> 10.4 dB eval) while the 128px round-4b
+runs reached 25 dB. Two things changed at once: patch size 128 -> 192 and
+the interior-latent hinge (commit 0362545). This runs short trains over
+the 2x2 combo {128,192}px x {interior hinge on/off} and prints the mse
+trajectory for each, isolating the culprit.
+
+Usage: python tools/diag_hific_192.py [--steps 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from compression_tpu.models import common
+from compression_tpu.models import hific
+
+
+def run(patch: int, ring: int, steps: int) -> None:
+    cfg = hific.get_config("hific-lo")
+    # ring large enough that no training patch has an interior -> the
+    # hinge falls back to whole-patch bpp (pre-0362545 behavior).
+    cfg = dataclasses.replace(cfg, hinge_boundary_ring=ring)
+    tc = common.TrainConfig(
+        train_glob="/tmp/tpc_data/train/*.png",
+        steps=steps,
+        batch_size=8,
+        patch_size=patch,
+        log_every=100,
+        seed=0,
+    )
+    print(f"=== patch={patch} ring={ring} steps={steps} ===", flush=True)
+    hific.train(cfg, tc)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--combos", default="128:3,192:99,192:3,128:99")
+    args = ap.parse_args()
+    for combo in args.combos.split(","):
+        patch, ring = (int(v) for v in combo.split(":"))
+        run(patch, ring, args.steps)
+
+
+if __name__ == "__main__":
+    main()
