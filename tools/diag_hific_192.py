@@ -17,11 +17,15 @@ from compression_tpu.models import common
 from compression_tpu.models import hific
 
 
-def run(patch: int, ring: int, steps: int) -> None:
+def run(patch: int, ring: int, steps: int, k_gan: float | None = None) -> None:
     cfg = hific.get_config("hific-lo")
     # ring large enough that no training patch has an interior -> the
     # hinge falls back to whole-patch bpp (pre-0362545 behavior).
     cfg = dataclasses.replace(cfg, hinge_boundary_ring=ring)
+    if k_gan is not None:
+        # k_gan=0 isolates the GAN term: if 192px learns with the GAN off,
+        # the freeze is discriminator domination, not the transforms.
+        cfg = dataclasses.replace(cfg, k_gan=k_gan)
     tc = common.TrainConfig(
         train_glob="/tmp/tpc_data/train/*.png",
         steps=steps,
@@ -37,11 +41,16 @@ def run(patch: int, ring: int, steps: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--combos", default="128:3,192:99,192:3,128:99")
+    ap.add_argument(
+        "--combos", default="128:3,192:99,192:3,128:99",
+        help="comma-separated patch:ring[:k_gan] combos",
+    )
     args = ap.parse_args()
     for combo in args.combos.split(","):
-        patch, ring = (int(v) for v in combo.split(":"))
-        run(patch, ring, args.steps)
+        parts = combo.split(":")
+        patch, ring = int(parts[0]), int(parts[1])
+        k_gan = float(parts[2]) if len(parts) > 2 else None
+        run(patch, ring, args.steps, k_gan)
 
 
 if __name__ == "__main__":
