@@ -287,7 +287,12 @@ def cmd_train(args) -> int:
                 "--init-from is not supported for HiFiC (its training "
                 "state is a (G, D) pair, not one params tree)"
             )
-        model, params, _ = hific.train(hific.get_config(args.model), tc)
+        import dataclasses as _dc
+
+        hcfg = hific.get_config(args.model)
+        if getattr(args, "gan_warmup", 0):
+            hcfg = _dc.replace(hcfg, gan_warmup_steps=args.gan_warmup)
+        model, params, _ = hific.train(hcfg, tc)
     else:
         mod = importlib.import_module(f"compression_tpu.models.{family}")
         # Use the registry's config (keeps quality lambdas and the
@@ -508,6 +513,12 @@ def main(argv=None) -> int:
              "recipe), cosine = smooth decay to lr * lr-final-scale",
     )
     sp.add_argument("--lr-final-scale", type=float, default=0.1)
+    sp.add_argument(
+        "--gan-warmup", type=int, default=0, metavar="N",
+        help="HiFiC only: train the generator on mse+lpips+rate for the "
+             "first N steps before enabling the GAN term and the "
+             "discriminator updates (HificConfig.gan_warmup_steps)",
+    )
     sp.add_argument(
         "--init-from", default=None, metavar="MODEL",
         help="warm-start parameters from another trained model of the "

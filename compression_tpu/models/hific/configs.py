@@ -56,6 +56,17 @@ class HificConfig:
     k_mse: float = 0.075 * 2.0 ** -5
     k_lpips: float = 1.0
     k_gan: float = 0.15
+    # Generator warm-up: for the first N steps the GAN term is removed
+    # from the generator loss AND the discriminator's updates are gated
+    # off (its spectral-norm state still tracks). Round-4 diagnosis
+    # (tools/diag_hific_192.py + diag_grad_miscompile.py): at 192px
+    # patches the discriminator is dominant from step 100 (d_loss 0.25
+    # vs 0.56 at 128px) and reconstruction never starts (mse frozen at
+    # dataset variance) — gradients are healthy, the equilibrium is not.
+    # Warming the generator up on mse+lpips+rate first gives the GAN a
+    # non-degenerate generator to balance against. 0 = reference
+    # behavior (GAN from step 1, as in models/hific/train.py upstream).
+    gan_warmup_steps: int = 0
     num_latents: int = 220
     num_hyperlatents: int = 320
     num_residual_blocks: int = 9

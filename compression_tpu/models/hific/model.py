@@ -150,7 +150,8 @@ def make_loss_fns(
     the rate hinge a global-batch decision.
     """
 
-    def g_loss_fn(g_params, d_vars, batch, rng, pmean_axis=None):
+    def g_loss_fn(g_params, d_vars, batch, rng, pmean_axis=None,
+                  gan_scale=1.0):
         x_hat, y_hat, bpp, hinge_bpp = model.apply(
             g_params, batch, rng, training=True
         )
@@ -179,7 +180,7 @@ def make_loss_fns(
             lam * bpp
             + cfg.k_mse * mse
             + cfg.k_lpips * perceptual
-            + cfg.k_gan * gan_loss
+            + cfg.k_gan * gan_scale * gan_loss
         )
         aux = {
             "bpp": bpp,
@@ -246,7 +247,8 @@ def make_train_steps(
         model, disc, lpips_model, lpips_params, cfg
     )
 
-    def joint_step(g_params, d_vars, g_opt, d_opt, batch, rng, pmean_axis=None):
+    def joint_step(g_params, d_vars, g_opt, d_opt, batch, rng,
+                   step_idx=None, pmean_axis=None):
         if batch.dtype == jnp.uint8:
             # uint8-on-the-wire batches (models/common.crop_dataset):
             # normalize on-device, identical math to host-side /255.
@@ -257,8 +259,20 @@ def make_train_steps(
                 jax.lax.pmean(t, pmean_axis) if pmean_axis is not None else t
             )
 
+        # Generator warm-up gate (HificConfig.gan_warmup_steps): while
+        # step_idx < warmup the GAN term leaves the G loss and the D
+        # update is zeroed. step_idx=None (legacy 6-arg callers) means
+        # "past any warm-up" — identical to the pre-warm-up behavior.
+        if step_idx is None:
+            gate = jnp.float32(1.0)
+        else:
+            gate = (
+                jnp.asarray(step_idx, jnp.int32) >= cfg.gan_warmup_steps
+            ).astype(jnp.float32)
+
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            g_params, d_vars, batch, rng, pmean_axis=pmean_axis
+            g_params, d_vars, batch, rng, pmean_axis=pmean_axis,
+            gan_scale=gate,
         )
         g_grads = _reduce(g_grads)
         g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
@@ -272,11 +286,14 @@ def make_train_steps(
             d_loss_fn, has_aux=True
         )(d_params, d_state, batch, x_hat, y_hat)
         d_grads = _reduce(d_grads)
+        d_grads = jax.tree.map(lambda t: t * gate, d_grads)
         d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, d_updates)
         d_vars = {"params": d_params, **new_state}
 
-        metrics = _reduce({"g_loss": g_loss, "d_loss": d_loss, **aux})
+        metrics = _reduce(
+            {"g_loss": g_loss, "d_loss": d_loss, "gan_on": gate, **aux}
+        )
         return g_params, d_vars, g_opt, d_opt, metrics
 
     if num_devices > 1:
@@ -286,22 +303,31 @@ def make_train_steps(
 
         mesh = make_mesh(num_devices, axis)
 
-        def shard_step(g_params, d_vars, g_opt, d_opt, batch, rng):
+        def shard_step(g_params, d_vars, g_opt, d_opt, batch, rng, step_idx):
             # Decorrelate dither across devices, deterministically.
             dev_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             return joint_step(
                 g_params, d_vars, g_opt, d_opt, batch, dev_rng,
-                pmean_axis=axis,
+                step_idx=step_idx, pmean_axis=axis,
             )
 
-        mapped = jax.shard_map(
-            shard_step,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(axis), P()),
-            out_specs=(P(), P(), P(), P(), P()),
-            check_vma=False,
+        mapped = jax.jit(
+            jax.shard_map(
+                shard_step,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(axis), P(), P()),
+                out_specs=(P(), P(), P(), P(), P()),
+                check_vma=False,
+            )
         )
-        step = jax.jit(mapped)
+
+        def step(g_params, d_vars, g_opt, d_opt, batch, rng, step_idx=None):
+            if step_idx is None:  # legacy 6-arg callers: past any warm-up
+                step_idx = cfg.gan_warmup_steps
+            return mapped(
+                g_params, d_vars, g_opt, d_opt, batch, rng,
+                jnp.asarray(step_idx, jnp.int32),
+            )
     else:
         step = jax.jit(joint_step, static_argnames=("pmean_axis",))
 

@@ -73,7 +73,8 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig):
         rng, step_rng = jax.random.split(rng)
         batch = place(next(data))
         g_params, d_vars, g_opt, d_opt, metrics = step_fn(
-            g_params, d_vars, g_opt, d_opt, batch, step_rng
+            g_params, d_vars, g_opt, d_opt, batch, step_rng,
+            jnp.asarray(step - 1, jnp.int32),  # gan_warmup_steps gate
         )
         if step % train_cfg.log_every == 0 or step == train_cfg.steps:
             m = {k: float(v) for k, v in metrics.items()}

@@ -248,3 +248,66 @@ def test_dp_gan_step_matches_single_device():
             np.testing.assert_array_equal(np.asarray(s.data), ref)
             checked += 1
     assert checked > 0
+
+
+def test_gan_warmup_gates_gan_term_and_disc_updates():
+    """gan_warmup_steps (configs.py): before the warm-up boundary the GAN
+    term leaves the G loss and the D update is zeroed; at the boundary
+    both switch on. Round-4 motivation: at 192px patches the
+    discriminator dominates from step 100 and reconstruction never
+    starts (tools/diag_hific_192.py)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_cfg(), gan_warmup_steps=5)
+    model = hific.HificModel(cfg)
+    disc = hific.Discriminator()
+    from compression_tpu.models.hific.lpips import LPIPS
+
+    lpips = LPIPS()
+    batch = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32
+    )
+    lp = lpips.init(jax.random.PRNGKey(3), batch, batch)
+    g_params = model.init(
+        jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), training=True
+    )
+    _, y_hat0, _, _ = model.apply(
+        g_params, batch, jax.random.PRNGKey(2), training=True
+    )
+    d_vars = disc.init(jax.random.PRNGKey(4), batch, y_hat0, update_stats=False)
+    step, g_tx, d_tx = hific.make_train_steps(model, disc, lpips, lp, cfg)
+    g_opt = g_tx.init(g_params)
+    d_opt = d_tx.init(d_vars["params"])
+
+    d_before = d_vars["params"]
+    g1, d1, go1, do1, m_warm = step(
+        g_params, d_vars, g_opt, d_opt, batch, jax.random.PRNGKey(5),
+        jnp.int32(0),
+    )
+    assert float(m_warm["gan_on"]) == 0.0
+    # D params unchanged during warm-up (its grads are gated to zero).
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(d_before),
+        jax.tree_util.tree_leaves_with_path(d1["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    _, d2, _, _, m_on = step(
+        g1, d1, go1, do1, batch, jax.random.PRNGKey(6), jnp.int32(5)
+    )
+    assert float(m_on["gan_on"]) == 1.0
+    changed = any(
+        not np.array_equal(np.asarray(va), np.asarray(vb))
+        for (_, va), (_, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(d1["params"]),
+            jax.tree_util.tree_leaves_with_path(d2["params"]),
+        )
+    )
+    assert changed, "discriminator must update once the warm-up ends"
+
+    # Legacy 6-arg call (dryrun/tests written before the gate) behaves as
+    # past-warm-up.
+    _, _, _, _, m_legacy = step(
+        g1, d1, go1, do1, batch, jax.random.PRNGKey(7)
+    )
+    assert float(m_legacy["gan_on"]) == 1.0
