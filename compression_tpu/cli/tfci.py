@@ -292,6 +292,12 @@ def cmd_train(args) -> int:
         hcfg = hific.get_config(args.model)
         if getattr(args, "gan_warmup", 0):
             hcfg = _dc.replace(hcfg, gan_warmup_steps=args.gan_warmup)
+        if getattr(args, "rate_probe_glob", None):
+            hcfg = _dc.replace(
+                hcfg,
+                rate_probe_glob=args.rate_probe_glob,
+                rate_probe_every=args.rate_probe_every,
+            )
         model, params, _ = hific.train(hcfg, tc)
     else:
         mod = importlib.import_module(f"compression_tpu.models.{family}")
@@ -519,6 +525,14 @@ def main(argv=None) -> int:
              "first N steps before enabling the GAN term and the "
              "discriminator updates (HificConfig.gan_warmup_steps)",
     )
+    sp.add_argument(
+        "--rate-probe-glob", default=None, metavar="GLOB",
+        help="HiFiC only: hinge the rate controller on the measured bpp "
+             "of these full-resolution TRAIN-distribution images instead "
+             "of the training-patch bpp (closes the patch-vs-eval rate "
+             "statistics gap; HificConfig.rate_probe_glob)",
+    )
+    sp.add_argument("--rate-probe-every", type=int, default=100)
     sp.add_argument(
         "--init-from", default=None, metavar="MODEL",
         help="warm-start parameters from another trained model of the "

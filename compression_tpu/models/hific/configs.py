@@ -67,6 +67,19 @@ class HificConfig:
     # non-degenerate generator to balance against. 0 = reference
     # behavior (GAN from step 1, as in models/hific/train.py upstream).
     gan_warmup_steps: int = 0
+    # Probe-calibrated rate controller: when set, the hinge compares the
+    # measured bpp of the FULL-RESOLUTION images matching this glob
+    # (re-measured from the live params every rate_probe_every steps)
+    # against target_rate, instead of the training-patch bpp. This closes
+    # the patch-vs-eval rate-statistics gap by construction — the
+    # controller regulates the statistic that is actually reported — and
+    # subsumes the interior-ring heuristic above. The probe images must
+    # come from the TRAINING distribution (e.g. full-size training
+    # images, or extra draws of the same generator at eval resolution);
+    # pointing it at held-out eval images would leak the test set into
+    # training. "" = reference behavior (hinge on the patch statistic).
+    rate_probe_glob: str = ""
+    rate_probe_every: int = 100
     num_latents: int = 220
     num_hyperlatents: int = 320
     num_residual_blocks: int = 9

@@ -151,7 +151,7 @@ def make_loss_fns(
     """
 
     def g_loss_fn(g_params, d_vars, batch, rng, pmean_axis=None,
-                  gan_scale=1.0):
+                  gan_scale=1.0, probe_bpp=-1.0):
         x_hat, y_hat, bpp, hinge_bpp = model.apply(
             g_params, batch, rng, training=True
         )
@@ -175,7 +175,14 @@ def make_loss_fns(
             if pmean_axis is not None
             else hinge_bpp
         )
-        lam = jnp.where(hinge_bpp > cfg.target_rate, cfg.lambda_a, cfg.lambda_b)
+        # Probe-calibrated controller (HificConfig.rate_probe_glob): a
+        # nonnegative probe_bpp — the measured full-resolution rate,
+        # replicated across DP shards by the caller — replaces the patch
+        # statistic in the comparison. Negative (the default) keeps the
+        # patch-statistic hinge.
+        probe_bpp = jnp.asarray(probe_bpp, hinge_bpp.dtype)
+        hinge_stat = jnp.where(probe_bpp >= 0.0, probe_bpp, hinge_bpp)
+        lam = jnp.where(hinge_stat > cfg.target_rate, cfg.lambda_a, cfg.lambda_b)
         loss = (
             lam * bpp
             + cfg.k_mse * mse
@@ -194,7 +201,8 @@ def make_loss_fns(
             # (equilibrium above target, bpp NOT regulated by the target),
             # ~0.0 means lambda_b saturated; a healthy bang-bang
             # controller oscillates strictly between.
-            "hinge_on": (hinge_bpp > cfg.target_rate).astype(jnp.float32),
+            "hinge_on": (hinge_stat > cfg.target_rate).astype(jnp.float32),
+            "hinge_stat": hinge_stat,
             "x_hat": x_hat,
             "y_hat": y_hat,
         }
@@ -248,7 +256,7 @@ def make_train_steps(
     )
 
     def joint_step(g_params, d_vars, g_opt, d_opt, batch, rng,
-                   step_idx=None, pmean_axis=None):
+                   step_idx=None, pmean_axis=None, probe_bpp=None):
         if batch.dtype == jnp.uint8:
             # uint8-on-the-wire batches (models/common.crop_dataset):
             # normalize on-device, identical math to host-side /255.
@@ -270,9 +278,11 @@ def make_train_steps(
                 jnp.asarray(step_idx, jnp.int32) >= cfg.gan_warmup_steps
             ).astype(jnp.float32)
 
+        if probe_bpp is None:  # legacy callers: patch-statistic hinge
+            probe_bpp = jnp.float32(-1.0)
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             g_params, d_vars, batch, rng, pmean_axis=pmean_axis,
-            gan_scale=gate,
+            gan_scale=gate, probe_bpp=probe_bpp,
         )
         g_grads = _reduce(g_grads)
         g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
@@ -303,30 +313,35 @@ def make_train_steps(
 
         mesh = make_mesh(num_devices, axis)
 
-        def shard_step(g_params, d_vars, g_opt, d_opt, batch, rng, step_idx):
+        def shard_step(g_params, d_vars, g_opt, d_opt, batch, rng, step_idx,
+                       probe_bpp):
             # Decorrelate dither across devices, deterministically.
             dev_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             return joint_step(
                 g_params, d_vars, g_opt, d_opt, batch, dev_rng,
-                step_idx=step_idx, pmean_axis=axis,
+                step_idx=step_idx, pmean_axis=axis, probe_bpp=probe_bpp,
             )
 
         mapped = jax.jit(
             jax.shard_map(
                 shard_step,
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P(), P(axis), P(), P()),
+                in_specs=(P(), P(), P(), P(), P(axis), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
                 check_vma=False,
             )
         )
 
-        def step(g_params, d_vars, g_opt, d_opt, batch, rng, step_idx=None):
+        def step(g_params, d_vars, g_opt, d_opt, batch, rng, step_idx=None,
+                 probe_bpp=None):
             if step_idx is None:  # legacy 6-arg callers: past any warm-up
                 step_idx = cfg.gan_warmup_steps
+            if probe_bpp is None:
+                probe_bpp = -1.0
             return mapped(
                 g_params, d_vars, g_opt, d_opt, batch, rng,
                 jnp.asarray(step_idx, jnp.int32),
+                jnp.asarray(probe_bpp, jnp.float32),
             )
     else:
         step = jax.jit(joint_step, static_argnames=("pmean_axis",))

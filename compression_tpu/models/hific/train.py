@@ -49,6 +49,45 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig):
     )
     d_vars = disc.init(d_rng, batch0, y_hat0, update_stats=False)
 
+    # Probe-calibrated rate controller (HificConfig.rate_probe_glob):
+    # full-resolution train-distribution images whose measured bpp
+    # replaces the training-patch statistic in the hinge comparison. The
+    # probe images are padded to a common /64 grid and batched once; the
+    # rate is re-measured from the live params every rate_probe_every
+    # steps (a forward pass only — ~1% overhead at the default cadence).
+    probe_batch = None
+    probe_fn = None
+    if cfg.rate_probe_glob:
+        import glob as _glob
+
+        from compression_tpu.util import image as image_util
+
+        paths = sorted(_glob.glob(cfg.rate_probe_glob))
+        if not paths:
+            raise ValueError(
+                f"rate_probe_glob matched no files: {cfg.rate_probe_glob!r}"
+            )
+        imgs = [image_util.read_png(p) for p in paths]
+        shapes = {im.shape for im in imgs}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"rate probe images must share one shape, got {shapes}"
+            )
+        padded = [
+            image_util.pad_to_multiple_np(im[None].astype(np.float32) / 255.0,
+                                          64)[0][0]
+            for im in imgs
+        ]
+        probe_batch = jnp.asarray(np.stack(padded))
+        probe_rng = jax.random.PRNGKey(train_cfg.seed + 7919)
+
+        @jax.jit
+        def probe_fn(p, b):
+            # Same (noisy-rate) bpp measure as training; the probe's job
+            # is to carry the patch->full-image STATISTICS, and the
+            # noise-vs-round gap is second-order against that.
+            return model.apply(p, b, probe_rng, training=True)[2]
+
     n_dev = train_cfg.num_devices
     if n_dev > 1 and train_cfg.batch_size % n_dev:
         raise ValueError(
@@ -69,12 +108,18 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig):
         place = jnp.asarray
 
     t0 = time.time()
+    probe_val = -1.0
     for step in range(1, train_cfg.steps + 1):
         rng, step_rng = jax.random.split(rng)
         batch = place(next(data))
+        if probe_fn is not None and (
+            step == 1 or step % cfg.rate_probe_every == 0
+        ):
+            probe_val = float(probe_fn(g_params, probe_batch))
         g_params, d_vars, g_opt, d_opt, metrics = step_fn(
             g_params, d_vars, g_opt, d_opt, batch, step_rng,
             jnp.asarray(step - 1, jnp.int32),  # gan_warmup_steps gate
+            probe_bpp=jnp.asarray(probe_val, jnp.float32),
         )
         if step % train_cfg.log_every == 0 or step == train_cfg.steps:
             m = {k: float(v) for k, v in metrics.items()}

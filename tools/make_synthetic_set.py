@@ -60,7 +60,19 @@ def main(outdir: str = "/tmp/tpc_data", num_train: str = "160") -> None:
         image_util.write_png(
             os.path.join(outdir, "eval", f"{i}.png"), make(512, 768, 100 + i)
         )
-    print(f"dataset written to {outdir} ({n} train @256, 4 eval @768x512)")
+    # Rate-probe images for HiFiC's probe-calibrated hinge: the SAME
+    # generator at eval resolution, but seeds far outside both the train
+    # range (0..n+16) and the eval block (100..103) — train-distribution
+    # content, zero test leakage (HificConfig.rate_probe_glob).
+    os.makedirs(os.path.join(outdir, "probe"), exist_ok=True)
+    for i in range(2):
+        image_util.write_png(
+            os.path.join(outdir, "probe", f"{i}.png"), make(512, 768, 9000 + i)
+        )
+    print(
+        f"dataset written to {outdir} "
+        f"({n} train @256, 4 eval @768x512, 2 probe @768x512)"
+    )
 
 
 if __name__ == "__main__":
