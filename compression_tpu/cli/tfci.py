@@ -271,6 +271,33 @@ def cmd_train(args) -> int:
                 f"--init-from {args.init_from!r}: no checkpoint in "
                 f"{registry.model_dir()}"
             )
+        # Same family is necessary but not sufficient: qualities may differ
+        # in ARCHITECTURE fields (e.g. num_filters), which would otherwise
+        # surface as an opaque flax/optax shape error deep in training.
+        # Compare every config field that is not a training/rate knob.
+        _non_arch = {
+            "lmbda", "distortion", "model_name", "quality", "name",
+            "target_rate", "lambda_a", "lambda_b", "gan_warmup_steps",
+            "rate_probe_glob", "rate_probe_every", "lr", "disc_lr",
+            "hinge_boundary_ring",
+        }
+        src_cfg, dst_cfg = src_entry.config, entry.config
+        if src_cfg is not None and dst_cfg is not None:
+            import dataclasses as _dc
+
+            mismatches = [
+                f"{f.name}: {getattr(src_cfg, f.name)!r} != "
+                f"{getattr(dst_cfg, f.name)!r}"
+                for f in _dc.fields(type(dst_cfg))
+                if f.name not in _non_arch
+                and hasattr(src_cfg, f.name)
+                and getattr(src_cfg, f.name) != getattr(dst_cfg, f.name)
+            ]
+            if mismatches:
+                raise SystemExit(
+                    f"--init-from {args.init_from!r}: architecture differs "
+                    f"from {args.model!r} — " + "; ".join(mismatches)
+                )
         _, _, warm = _load_model(args.init_from)
         print(f"warm-start from {args.init_from} ({src_ckpt})")
     if family == "hific":
@@ -281,11 +308,6 @@ def cmd_train(args) -> int:
                 "--lmbda does not apply to HiFiC (it uses target_rate + "
                 "loss weights from its named config; edit "
                 "models/hific/configs.py or pick hific-lo/mi/hi)"
-            )
-        if warm is not None:
-            raise SystemExit(
-                "--init-from is not supported for HiFiC (its training "
-                "state is a (G, D) pair, not one params tree)"
             )
         import dataclasses as _dc
 
@@ -298,7 +320,16 @@ def cmd_train(args) -> int:
                 rate_probe_glob=args.rate_probe_glob,
                 rate_probe_every=args.rate_probe_every,
             )
-        model, params, _ = hific.train(hcfg, tc)
+        # --init-from warm-starts the GENERATOR side only (the saved
+        # checkpoint is g_params); the discriminator restarts fresh —
+        # recommend pairing with --gan-warmup so G settles at the new
+        # patch statistics before the new D's gradients reach it.
+        if warm is not None and not getattr(args, "gan_warmup", 0):
+            print(
+                "note: --init-from with a fresh discriminator and no "
+                "--gan-warmup; consider --gan-warmup to let G settle first"
+            )
+        model, params, _ = hific.train(hcfg, tc, params=warm)
     else:
         mod = importlib.import_module(f"compression_tpu.models.{family}")
         # Use the registry's config (keeps quality lambdas and the

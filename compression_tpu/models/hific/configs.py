@@ -52,6 +52,14 @@ class HificConfig:
     # positions from the edge regulates the statistic that actually
     # transfers to full-size images; eval bpp then approaches the target
     # from below as the boundary fraction shrinks.
+    #
+    # Minimum patch size for a stable interior statistic: the interior
+    # grid is (H/16 - 2*ring)^2 latents, so ring=3 on a 128px patch (8x8
+    # grid) leaves only a 2x2 block — a very high-variance signal for the
+    # bang-bang controller. Prefer patches >= 192px (ring=3 -> 6x6
+    # interior) when the interior hinge is load-bearing, or set
+    # rate_probe_glob, which replaces this heuristic entirely with the
+    # measured full-resolution rate.
     hinge_boundary_ring: int = 3
     k_mse: float = 0.075 * 2.0 ** -5
     k_lpips: float = 1.0

@@ -296,9 +296,17 @@ def make_train_steps(
             d_loss_fn, has_aux=True
         )(d_params, d_state, batch, x_hat, y_hat)
         d_grads = _reduce(d_grads)
-        d_grads = jax.tree.map(lambda t: t * gate, d_grads)
-        d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
-        d_params = optax.apply_updates(d_params, d_updates)
+        # During GAN warm-up the ENTIRE D update is suppressed — params AND
+        # optimizer state. Zeroing just the grads would still advance Adam's
+        # step count every warm-up step, so bias correction at warm-up end
+        # would behave as if N steps had already happened (damped early D
+        # updates vs the fresh optimizer this is meant to emulate). The
+        # select keeps the compiled step a single static program.
+        d_updates, d_opt_new = d_tx.update(d_grads, d_opt, d_params)
+        d_params_new = optax.apply_updates(d_params, d_updates)
+        _sel = lambda n, o: jnp.where(gate > 0, n, o)  # noqa: E731
+        d_params = jax.tree.map(_sel, d_params_new, d_params)
+        d_opt = jax.tree.map(_sel, d_opt_new, d_opt)
         d_vars = {"params": d_params, **new_state}
 
         metrics = _reduce(

@@ -291,6 +291,15 @@ def test_gan_warmup_gates_gan_term_and_disc_updates():
         jax.tree_util.tree_leaves_with_path(d1["params"]),
     ):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # ... and so is its OPTIMIZER state: Adam's step count must not
+    # advance during warm-up, or bias correction at warm-up end behaves
+    # as if N steps already happened (damped early D updates vs the
+    # fresh-optimizer semantics warm-up promises).
+    for (_, va), (_, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(d_opt),
+        jax.tree_util.tree_leaves_with_path(do1),
+    ):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
     _, d2, _, _, m_on = step(
         g1, d1, go1, do1, batch, jax.random.PRNGKey(6), jnp.int32(5)
@@ -389,3 +398,26 @@ def test_rate_probe_glob_train_integration(tmp_path):
     )
     model, g_params, d_vars = hific.train(cfg, tc)
     assert g_params is not None
+
+
+def test_train_warm_start_resumes_generator():
+    """hific.train(params=...) (round-5): the generator side starts from
+    the given tree — the fine-tune-at-larger-patch recipe that gets past
+    the from-scratch 192px GAN collapse (VERDICT r4 task 1). The warm
+    tree must be used verbatim (not re-initialized)."""
+    from compression_tpu.models import common
+
+    cfg = _tiny_cfg()
+    tc = common.TrainConfig(
+        train_glob=None, steps=1, batch_size=1, patch_size=64, log_every=1,
+        seed=0,
+    )
+    # A recognizable warm tree: train one step, then scale a leaf.
+    _, warm, _ = hific.train(cfg, tc)
+    marker = jax.tree_util.tree_leaves(warm)[0]
+    _, g2, _ = hific.train(cfg, tc, params=warm)
+    # One step of Adam moves weights by at most ~lr per coordinate, so
+    # starting from `warm` the result stays within lr*steps of it —
+    # whereas a fresh init would differ by the init scale.
+    d0 = float(jnp.max(jnp.abs(jax.tree_util.tree_leaves(g2)[0] - marker)))
+    assert d0 <= 2 * cfg.lr * tc.steps + 1e-8, d0

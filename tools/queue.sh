@@ -95,17 +95,21 @@ with_lock() {
 
 run_queue() {
   local spec=$1
+  local verb rest tok
   while IFS= read -r line || [ -n "$line" ]; do
     case "$line" in
       ''|'#'*) continue ;;
     esac
-    set -- $line
-    local verb=$1; shift
+    # Split without pathname expansion: `read -a` word-splits only, so
+    # run-args may carry globs (e.g. --rate-probe-glob /data/*.png) as
+    # plain unquoted tokens and they reach q_run verbatim. `cmd` keeps
+    # its raw remainder for bash -c (quotes interpreted there).
+    read -r verb rest <<< "$line"
     case "$verb" in
-      dataset) with_lock q_dataset "$@" ;;
-      run)     with_lock q_run "$@" ;;
+      dataset) with_lock q_dataset "$rest" ;;
+      run)     read -r -a tok <<< "$rest"; with_lock q_run "${tok[@]}" ;;
       report)  q_report ;;
-      cmd)     step "cmd: $*"; with_lock try bash -c "$*" ;;
+      cmd)     step "cmd: $rest"; with_lock try bash -c "$rest" ;;
       *)       echo "!!! unknown spec verb: $verb" ;;
     esac
   done < "$spec"
