@@ -51,3 +51,25 @@ try:
     )
 except Exception:
     pass
+
+import pytest  # noqa: E402
+
+# `pytest -m smoke`: the <2-minute sanity tier (VERDICT r4 task 8) — one
+# native-coder round trip, one device-rANS round trip, one entropy-model
+# round trip, one model-level compress/decompress, and the container wire
+# format. Centralized here (nodeid substrings) instead of scattering marks
+# across files; `-m "not slow"` remains the fast CI-of-record pass.
+_SMOKE_NODEIDS = (
+    "test_codec.py::TestRangeCoderRoundTrip::"
+    "test_cpp_roundtrip_and_bit_exact_vs_numpy",
+    "test_rans.py::test_batched_streams_are_independent",
+    "test_entropy_models.py",  # batched-EM class round-trip tests are quick
+    "test_bls2017.py::test_compress_decompress_roundtrip",
+    "test_packed_tensors.py",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(s in item.nodeid for s in _SMOKE_NODEIDS):
+            item.add_marker(pytest.mark.smoke)

@@ -520,8 +520,23 @@ def load_reference_variables(saved_model_dir: str) -> dict:
     import tensorflow as tf  # local import: offline tool only
 
     loaded = tf.saved_model.load(saved_model_dir)
+    # The restored root exposes its variables under different attributes
+    # across TF versions / object graphs: plain tf.Module roots have
+    # `.variables`; checkpoint-restored _UserObject roots only
+    # `.all_variables` (observed TF 2.20 restoring our synthetic
+    # SavedModel). Take whichever exists.
+    var_list = None
+    for attr in ("variables", "all_variables", "trainable_variables"):
+        var_list = getattr(loaded, attr, None)
+        if var_list:
+            break
+    if not var_list:
+        raise ValueError(
+            f"SavedModel at {saved_model_dir} exposes no variable "
+            f"collection (tried variables/all_variables)"
+        )
     out = {}
-    for v in loaded.variables:
+    for v in var_list:
         out[v.name] = v.numpy()
     return out
 

@@ -57,6 +57,20 @@ ORDERING = ("ms2020", "mbt2018", "bmshj2018", "bls2017")
 TABLE_ONLY = ("genseen", "genfresh", "96px")
 
 
+def load_quarantine(results_dir: str) -> dict:
+    """results/synthetic/QUARANTINE.json: {stem: diagnosis}. Quarantined
+    rows are degenerate artifacts of diagnosed failed runs — they stay in
+    the repo as records (the CSVs are not deleted) but move to their own
+    report section with the diagnosis attached, so an 11 dB row can never
+    read as an unnoticed failure (VERDICT r4 weak #3)."""
+    path = os.path.join(results_dir, "QUARANTINE.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        q = json.load(f)
+    return {k: v for k, v in q.items() if not k.startswith("_")}
+
+
 def read_mean_row(path: str):
     """Returns (bpp, psnr, msssim) from the csv's `mean` row."""
     with open(path) as f:
@@ -132,6 +146,16 @@ def bd_psnr(points_a, points_b):
 
 def report(results_dir: str = "results/synthetic") -> str:
     fams = collect(results_dir)
+    quarantine = load_quarantine(results_dir)
+    qrows = []
+    for fam in list(fams):
+        kept = []
+        for p in fams[fam]:
+            if p[3] in quarantine:
+                qrows.append((fam,) + p)
+            else:
+                kept.append(p)
+        fams[fam] = kept
     manifest = {}
     mpath = os.path.join(results_dir, "CURVES.json")
     if os.path.exists(mpath):
@@ -181,6 +205,21 @@ def report(results_dir: str = "results/synthetic") -> str:
                          f"| {len(curves[a])},{len(curves[b])} |")
     if not any_pair:
         lines.append("| (no family pair has 2+ overlapping points yet) | | |")
+    if qrows:
+        lines.append("")
+        lines.append(
+            "## Quarantined rows (diagnosed failed runs — records, not "
+            "results)"
+        )
+        lines.append("")
+        lines.append("| family | point | bpp | PSNR dB | MS-SSIM | diagnosis |")
+        lines.append("|---|---|---|---|---|---|")
+        for fam, bpp, psnr, msssim, stem in sorted(qrows):
+            ms = f"{msssim:.4f}" if np.isfinite(msssim) else "—"
+            lines.append(
+                f"| {fam} | {stem} | {bpp:.3f} | {psnr:.2f} | {ms} "
+                f"| {quarantine[stem]} |"
+            )
     return "\n".join(lines)
 
 
