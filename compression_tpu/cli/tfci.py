@@ -392,6 +392,16 @@ def cmd_eval(args) -> int:
             lambda a, b: lp_model.apply(lp_params, a[None], b[None])[0]
         )
         lpips_fn = lambda a, b: float(_lp(a / 255.0, b / 255.0))  # noqa: E731
+    # Rate-targeted models (HiFiC): print each image's bpp against the
+    # config's target so rate-controller tracking is visible at eval time,
+    # not discovered later in a results table (VERDICT r4 task 6).
+    target_rate = None
+    if entry.family == "hific":
+        from compression_tpu.models import hific as _hific
+
+        target_rate = _hific.get_config(
+            registry._split_name(args.model)[0]
+        ).target_rate
     rows = []
     for path in paths:
         image = image_util.read_png(path)
@@ -412,14 +422,22 @@ def cmd_eval(args) -> int:
             row.append(lpips_fn(a, b))
             extra = f" lpips={row[-1]:.4f}"
         rows.append(tuple(row))
+        tgt = (
+            f" (target {target_rate:.2f}, x{bpp / target_rate:.2f})"
+            if target_rate else ""
+        )
         print(
-            f"{rows[-1][0]:24s} bpp={bpp:.4f} psnr={psnr:.2f} "
+            f"{rows[-1][0]:24s} bpp={bpp:.4f}{tgt} psnr={psnr:.2f} "
             f"{metric_name}={ms:.4f}" + extra
         )
     mean = np.mean(np.array([r[1:] for r in rows], np.float64), axis=0)
     extra = f" lpips={mean[3]:.4f}" if lpips_fn is not None else ""
+    tgt = (
+        f" (target {target_rate:.2f}, x{mean[0] / target_rate:.2f})"
+        if target_rate else ""
+    )
     print(
-        f"{'MEAN':24s} bpp={mean[0]:.4f} psnr={mean[1]:.2f} "
+        f"{'MEAN':24s} bpp={mean[0]:.4f}{tgt} psnr={mean[1]:.2f} "
         f"{metric_name}={mean[2]:.4f}" + extra
     )
     if args.csv:

@@ -100,10 +100,18 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
 
         @jax.jit
         def probe_fn(p, b):
-            # Same (noisy-rate) bpp measure as training; the probe's job
-            # is to carry the patch->full-image STATISTICS, and the
-            # noise-vs-round gap is second-order against that.
-            return model.apply(p, b, probe_rng, training=True)[2] * probe_scale
+            # ROUNDED-rate bpp (training=False -> straight-through
+            # quantization in the entropy models): the statistic the
+            # controller regulates must be the one eval reports. The
+            # first probe version measured the NOISY rate on the theory
+            # that the noise-vs-round gap is second-order — measured
+            # wrong: at hific-lo's operating point the noisy full-res
+            # rate ran 4.6x ABOVE the coded rate (0.176 regulated vs
+            # 0.038 coded, hific-lo-v5.csv), because near-dead latents
+            # cost ~0 bits rounded but a finite noisy differential rate.
+            return (
+                model.apply(p, b, probe_rng, training=False)[2] * probe_scale
+            )
 
     n_dev = train_cfg.num_devices
     if n_dev > 1 and train_cfg.batch_size % n_dev:
