@@ -320,6 +320,10 @@ def cmd_train(args) -> int:
                 rate_probe_glob=args.rate_probe_glob,
                 rate_probe_every=args.rate_probe_every,
             )
+        if getattr(args, "hinge_softness", 0.0):
+            hcfg = _dc.replace(hcfg, hinge_softness=args.hinge_softness)
+        if getattr(args, "probe_ema", 0.0):
+            hcfg = _dc.replace(hcfg, probe_ema=args.probe_ema)
         # --init-from warm-starts the GENERATOR side only (the saved
         # checkpoint is g_params); the discriminator restarts fresh —
         # recommend pairing with --gan-warmup so G settles at the new
@@ -582,6 +586,18 @@ def main(argv=None) -> int:
              "statistics gap; HificConfig.rate_probe_glob)",
     )
     sp.add_argument("--rate-probe-every", type=int, default=100)
+    sp.add_argument(
+        "--hinge-softness", type=float, default=0.0, metavar="S",
+        help="HiFiC only: log-proportional rate controller — lambda "
+             "interpolates lambda_b -> lambda_a geometrically over rate in "
+             "[target/2^S, target*2^S]; 0 = reference two-lambda bang-bang "
+             "(HificConfig.hinge_softness)",
+    )
+    sp.add_argument(
+        "--probe-ema", type=float, default=0.0, metavar="A",
+        help="HiFiC only: EMA smoothing of the rate-probe sensor, "
+             "0 <= A < 1 (HificConfig.probe_ema)",
+    )
     sp.add_argument(
         "--init-from", default=None, metavar="MODEL",
         help="warm-start parameters from another trained model of the "

@@ -88,6 +88,20 @@ class HificConfig:
     # training. "" = reference behavior (hinge on the patch statistic).
     rate_probe_glob: str = ""
     rate_probe_every: int = 100
+    # Controller smoothing (round-5). The CODED-rate probe is a cliffy
+    # statistic: under the pure two-lambda bang-bang (ratio lambda_a /
+    # lambda_b = 128x) the measured rate oscillated 0.06 <-> 0.52 bpp
+    # between probe refreshes (hific-lo-v6 log). Two standard loop fixes,
+    # both 0 = reference bang-bang behavior:
+    #  - hinge_softness s > 0: lambda becomes log-proportional in the rate
+    #    error — lambda = lambda_b at rate <= target/2^s, lambda_a at
+    #    rate >= target*2^s, geometric interpolation between (a smooth
+    #    actuator with a finite equilibrium at the target instead of two
+    #    saturating arms).
+    #  - probe_ema in [0,1): exponential smoothing of the probe sensor
+    #    (ADVICE r4: smooth the hinge statistic before the comparison).
+    hinge_softness: float = 0.0
+    probe_ema: float = 0.0
     num_latents: int = 220
     num_hyperlatents: int = 320
     num_residual_blocks: int = 9

@@ -182,7 +182,24 @@ def make_loss_fns(
         # patch-statistic hinge.
         probe_bpp = jnp.asarray(probe_bpp, hinge_bpp.dtype)
         hinge_stat = jnp.where(probe_bpp >= 0.0, probe_bpp, hinge_bpp)
-        lam = jnp.where(hinge_stat > cfg.target_rate, cfg.lambda_a, cfg.lambda_b)
+        if cfg.hinge_softness > 0.0:
+            # Log-proportional controller (HificConfig.hinge_softness):
+            # geometric interpolation lambda_b -> lambda_a over rate in
+            # [target/2^s, target*2^s]. Same endpoints as the bang-bang
+            # arms, but with a finite interior equilibrium — the coded-
+            # rate probe is too cliffy for a 128x hard switch.
+            err = jnp.log2(
+                jnp.maximum(hinge_stat, 1e-6) / cfg.target_rate
+            ) / cfg.hinge_softness
+            frac = jnp.clip((err + 1.0) * 0.5, 0.0, 1.0)
+            lam = jnp.exp(
+                (1.0 - frac) * jnp.log(cfg.lambda_b)
+                + frac * jnp.log(cfg.lambda_a)
+            )
+        else:
+            lam = jnp.where(
+                hinge_stat > cfg.target_rate, cfg.lambda_a, cfg.lambda_b
+            )
         loss = (
             lam * bpp
             + cfg.k_mse * mse
@@ -203,6 +220,7 @@ def make_loss_fns(
             # controller oscillates strictly between.
             "hinge_on": (hinge_stat > cfg.target_rate).astype(jnp.float32),
             "hinge_stat": hinge_stat,
+            "lam": lam,
             "x_hat": x_hat,
             "y_hat": y_hat,
         }

@@ -140,7 +140,16 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
         if probe_fn is not None and (
             step == 1 or step % cfg.rate_probe_every == 0
         ):
-            probe_val = float(probe_fn(g_params, probe_batch))
+            new_val = float(probe_fn(g_params, probe_batch))
+            # Sensor smoothing (HificConfig.probe_ema): the coded rate is
+            # cliffy step to step; the controller compares the EMA.
+            if cfg.probe_ema > 0.0 and probe_val >= 0.0:
+                probe_val = (
+                    cfg.probe_ema * probe_val
+                    + (1.0 - cfg.probe_ema) * new_val
+                )
+            else:
+                probe_val = new_val
         g_params, d_vars, g_opt, d_opt, metrics = step_fn(
             g_params, d_vars, g_opt, d_opt, batch, step_rng,
             jnp.asarray(step - 1, jnp.int32),  # gan_warmup_steps gate

@@ -400,6 +400,53 @@ def test_rate_probe_glob_train_integration(tmp_path):
     assert g_params is not None
 
 
+def test_hinge_softness_interpolates_lambda():
+    """hinge_softness (round-5, configs.py): the log-proportional
+    controller hits lambda_a at rate >= target*2^s, lambda_b at
+    rate <= target/2^s, and the geometric mean exactly at the target —
+    same endpoints as the bang-bang, smooth interior (the coded-rate
+    probe is too cliffy for a 128x hard switch)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_cfg(), hinge_softness=1.0)
+    model = hific.HificModel(cfg)
+    disc = hific.Discriminator()
+    from compression_tpu.models.hific.lpips import LPIPS
+
+    lpips = LPIPS()
+    batch = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32
+    )
+    lp = lpips.init(jax.random.PRNGKey(3), batch, batch)
+    g_params = model.init(
+        jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), training=True
+    )
+    _, y_hat0, _, _ = model.apply(
+        g_params, batch, jax.random.PRNGKey(2), training=True
+    )
+    d_vars = disc.init(
+        jax.random.PRNGKey(4), batch, y_hat0, update_stats=False
+    )
+    g_loss_fn, _ = hific.make_loss_fns(model, disc, lpips, lp, cfg)
+
+    def lam_at(rate):
+        _, aux = g_loss_fn(
+            g_params, d_vars, batch, jax.random.PRNGKey(5),
+            probe_bpp=rate,
+        )
+        return float(aux["lam"])
+
+    t = cfg.target_rate
+    np.testing.assert_allclose(lam_at(4.0 * t), cfg.lambda_a, rtol=1e-6)
+    np.testing.assert_allclose(lam_at(t / 4.0), cfg.lambda_b, rtol=1e-6)
+    np.testing.assert_allclose(
+        lam_at(t), float(np.sqrt(cfg.lambda_a * cfg.lambda_b)), rtol=1e-5
+    )
+    # Monotone between the rails.
+    assert lam_at(t / 4) < lam_at(t / 1.5) < lam_at(t) < lam_at(1.5 * t) \
+        < lam_at(4 * t)
+
+
 def test_train_warm_start_resumes_generator():
     """hific.train(params=...) (round-5): the generator side starts from
     the given tree — the fine-tune-at-larger-patch recipe that gets past

@@ -80,7 +80,7 @@ def main(ks=(64, 128, 256, 512, 1024)):
         bucket = 1024
         while bucket < int(np.max(np.asarray(lengths))):
             bucket *= 2
-        ips = bench.compute_only_metric(codec, images, rounds=4, k=K)
+        ips, _stages = bench.compute_only_metric(codec, images, rounds=4, k=K)
         # Scan-only timing (exclude transforms): time enc+dec alone.
         values, ok = dec(stream[:, :bucket], ri)  # compile warmup
         jax.block_until_ready((values, ok))
