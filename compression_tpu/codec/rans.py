@@ -38,16 +38,37 @@ _M16 = np.uint32(0xFFFF)
 
 
 class RansTables:
-    """Device-resident table bundle derived from a CdfTables."""
+    """Device-resident table bundle derived from a CdfTables.
+
+    The per-symbol (freq, cum) pair is PACKED into one int32 —
+    ``fc[r, m] = (cdf[r, m+1] - cdf[r, m]) << 16 | cdf[r, m]`` — so a
+    freq_cum lookup costs ONE device gather instead of two. Gathers are
+    the measured wall of the rANS scan (tools/diag_rans_scan.py: table
+    gathers 53 ms + stream reads 83 ms of the 162 ms decode batch, and
+    the K-sweep shows element-throughput-bound behavior, so halving the
+    gathered elements halves the stage). Packing is lossless for
+    precision <= 15 (f <= 2^P fits 16 bits); the entropy-model stack
+    builds 12-bit tables (continuous_base.py), asserted below.
+    """
 
     def __init__(self, tables):
         self.precision = int(tables.precision)
-        self.cdf = jnp.asarray(tables.cdf, jnp.int32)          # [R, maxlen]
+        if self.precision > 15:
+            raise ValueError(
+                f"rANS fc-packing requires precision <= 15 (f must fit "
+                f"16 bits); got {self.precision}"
+            )
         self.cdf_offset = jnp.asarray(tables.cdf_offset, jnp.int32)
         self.escape = jnp.asarray(tables.cdf_length - 2, jnp.int32)  # [R]
+        cdf_np = np.asarray(tables.cdf)
+        f_np = cdf_np[:, 1:] - cdf_np[:, :-1]          # [R, maxlen-1]
+        self.fc = jnp.asarray(
+            (f_np.astype(np.int32) << 16) | cdf_np[:, :-1].astype(np.int32),
+            jnp.int32,
+        )
         self.slot2sym = jnp.asarray(
             build_slot_table(
-                np.asarray(tables.cdf),
+                cdf_np,
                 np.asarray(tables.cdf_length),
                 self.precision,
             ),
@@ -56,16 +77,19 @@ class RansTables:
         self.num_rows = int(tables.cdf.shape[0])
         self.maxlen = int(tables.cdf.shape[1])
 
-    def _gather_cdf(self, r, m):
-        return jnp.take(
-            self.cdf.reshape(-1), r * self.maxlen + m, mode="clip"
-        )
-
     def freq_cum(self, r, m):
-        """(f, c) as uint32 for symbol m of row r (vectorized)."""
-        c = self._gather_cdf(r, m)
-        f = self._gather_cdf(r, m + 1) - c
-        return f.astype(jnp.uint32), c.astype(jnp.uint32)
+        """(f, c) as uint32 for symbol m of row r (vectorized, ONE gather).
+
+        Valid for m in [0, cdf_length-2] of row r — every symbol incl.
+        the escape symbol, same domain the two-gather form served (m+1
+        never crossed its row there either; see _element_fields)."""
+        v = jnp.take(
+            self.fc.reshape(-1), r * (self.maxlen - 1) + m, mode="clip"
+        )
+        return (
+            (v >> 16).astype(jnp.uint32),
+            (v & 0xFFFF).astype(jnp.uint32),
+        )
 
     def symbol_at_slot(self, r, slot):
         return jnp.take(
@@ -222,21 +246,36 @@ def make_rans_decoder(tables, K: int, N: int):
             # input (which is x1-where-valid) per `need`.
             x, p = read(jnp.where(valid, x1, x), p, need, x1)
             esc = valid & (m == E)
-            # lo pop (always reads when active)
-            b_lo = (x & _M16)
-            x2 = x >> 16
-            xw, p = read(x, p, esc, x2)
-            x = jnp.where(esc, xw, x)
-            # hi pop
-            b_hi = (x & _M16)
-            x3 = x >> 16
-            xw, p = read(x, p, esc, x3)
-            x = jnp.where(esc, xw, x)
-            e = (b_hi << 16) | b_lo
-            s_esc = jnp.where(
-                e % 2 == 0,
-                E + (e >> 1).astype(jnp.int32),
-                -((e >> 1).astype(jnp.int32) + 1),
+
+            # Escape pops (lo then hi) behind a step-level branch: escapes
+            # are rare in a trained codec, and the two full-width stream
+            # gathers they need are the scan's measured wall
+            # (diag_rans_scan: stream reads ~84 ms of the 144 ms batch) —
+            # lax.cond executes ONE branch on TPU, so escape-free steps
+            # (the common case) skip both gathers entirely. Semantics are
+            # identical: with esc all-false the pops are no-ops by
+            # construction (read() masks by `need`).
+            def esc_pops(args):
+                x, p = args
+                b_lo = (x & _M16)
+                xw, p = read(x, p, esc, x >> 16)
+                x = jnp.where(esc, xw, x)
+                b_hi = (x & _M16)
+                xw, p = read(x, p, esc, x >> 16)
+                x = jnp.where(esc, xw, x)
+                e = (b_hi << 16) | b_lo
+                s_esc = jnp.where(
+                    e % 2 == 0,
+                    E + (e >> 1).astype(jnp.int32),
+                    -((e >> 1).astype(jnp.int32) + 1),
+                )
+                return x, p, s_esc
+
+            x, p, s_esc = jax.lax.cond(
+                jnp.any(esc),
+                esc_pops,
+                lambda args: (args[0], args[1], jnp.zeros_like(m)),
+                (x, p),
             )
             s = jnp.where(esc, s_esc, m)
             return (x, p), s

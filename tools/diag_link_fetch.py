@@ -43,7 +43,7 @@ def main():
     x_u8 = jax.device_put(jnp.asarray(img), dev)
     x_u8.block_until_ready()
     x_i32 = jax.device_put(
-        jnp.asarray(img.reshape(8, 512, 576, 16).view(np.int32)), dev
+        jnp.asarray(img.reshape(8, 512, 2304).view(np.int32)), dev
     )
     x_f32 = jax.device_put(jnp.asarray(img, jnp.float32), dev)
     jax.block_until_ready((x_i32, x_f32))
