@@ -114,6 +114,38 @@ def _element_fields(t: RansTables, values, rows):
     return m, escaped, e
 
 
+def _divmod24(n, d):
+    """Exact (n // d, n % d) for u32 n < 2**24, d in [1, 2**15].
+
+    Both fit a float32 mantissa exactly, so one f32 divide + floor gives a
+    quotient within 1 of truth (f32 rounds the exact real quotient once);
+    the integer remainder check then corrects it deterministically. ~6 VPU
+    ops vs the multi-op microcoded u32 integer division."""
+    q = jnp.floor(n.astype(jnp.float32) / d.astype(jnp.float32)).astype(
+        jnp.uint32
+    )
+    r = n - q * d
+    # floor(rounded quotient) is off by at most one in either direction.
+    under = r >= d          # q too small (r computed mod 2**32 stays >= d)
+    over = r > n            # q too large (true r went negative, wrapped)
+    q = jnp.where(under, q + 1, jnp.where(over, q - 1, q))
+    r = jnp.where(under, r - d, jnp.where(over, r + d, r))
+    return q, r
+
+
+def _divmod32(n, d):
+    """Exact (n // d, n % d) for full-range u32 n, d in [1, 2**15]:
+    schoolbook long division in two 24-bit-safe :func:`_divmod24` steps,
+    n = a*2**8 + b. Both operands stay f32-exact: a < 2**24, and the
+    second step's r1*2**8 + b < d*2**8 + 2**8 <= 2**23 + 2**8."""
+    a = n >> 8
+    b = n & jnp.uint32(0xFF)
+    q1, r1 = _divmod24(a, d)
+    t = (r1 << 8) | b
+    q2, r2 = _divmod24(t, d)
+    return (q1 << 8) + q2, r2
+
+
 def _pad_TK(x, T, K, fill):
     B, N = x.shape
     pad = T * K - N
@@ -167,7 +199,10 @@ def make_rans_encoder(tables, K: int, cap_words: int):
             v_m = (x & _M16).astype(jnp.uint16)
             x1 = jnp.where(em, x >> 16, x)
             fs = jnp.where(valid, f, 1)
-            x2 = ((x1 // fs) << P) + (x1 % fs) + c
+            # Division-free state update: u32 //,% are microcoded multi-op
+            # sequences on the VPU; _divmod32 is ~12 cheap ops and exact.
+            q, rem = _divmod32(x1, fs)
+            x2 = (q << P) + rem + c
             x = jnp.where(valid, x2, x)
             vals = jnp.stack([v_hi, v_lo, v_m], axis=1)      # [B, 3, K]
             masks = jnp.stack([esc, esc, em], axis=1)

@@ -157,3 +157,29 @@ def test_rate_close_to_host_coder():
     overhead = 4 * K
     assert len(dev) <= len(host) * 1.05 + overhead
     assert len(dev) + 64 >= len(host) * 0.9  # and not implausibly small
+
+
+def test_divmod32_exact_over_adversarial_grid():
+    """The encoder's division-free state update (_divmod32) must equal true
+    u32 divmod everywhere the coder can reach: full-range numerators,
+    divisors 1..2**15 (the precision<=15 bound RansTables asserts), with
+    exact-multiple +/-1 neighborhoods where float rounding is riskiest."""
+    rng = np.random.RandomState(7)
+    n = rng.randint(0, 2**32, 50_000, dtype=np.uint64).astype(np.uint32)
+    d = np.concatenate(
+        [
+            rng.randint(1, 2**15 + 1, len(n) - 4096).astype(np.uint32),
+            np.ones(2048, np.uint32),
+            np.full(2048, 2**15, np.uint32),
+        ]
+    )
+    mult = (n.astype(np.uint64) // d * d).astype(np.uint32)
+    N = np.concatenate([n, mult, mult - 1, mult + 1])
+    D = np.concatenate([d] * 4)
+    q, r = rans._divmod32(jnp.asarray(N), jnp.asarray(D))
+    np.testing.assert_array_equal(
+        np.asarray(q), (N.astype(np.uint64) // D).astype(np.uint32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r), (N.astype(np.uint64) % D).astype(np.uint32)
+    )
