@@ -279,7 +279,8 @@ def cmd_train(args) -> int:
             "lmbda", "distortion", "model_name", "quality", "name",
             "target_rate", "lambda_a", "lambda_b", "gan_warmup_steps",
             "rate_probe_glob", "rate_probe_every", "lr", "disc_lr",
-            "hinge_boundary_ring",
+            "hinge_boundary_ring", "hinge_softness", "probe_ema",
+            "hinge_integral", "k_mse_scale",
         }
         src_cfg, dst_cfg = src_entry.config, entry.config
         if src_cfg is not None and dst_cfg is not None:
@@ -324,6 +325,15 @@ def cmd_train(args) -> int:
             hcfg = _dc.replace(hcfg, hinge_softness=args.hinge_softness)
         if getattr(args, "probe_ema", 0.0):
             hcfg = _dc.replace(hcfg, probe_ema=args.probe_ema)
+        if getattr(args, "hinge_integral", 0.0):
+            if not hcfg.rate_probe_glob:
+                raise SystemExit(
+                    "--hinge-integral requires --rate-probe-glob (the "
+                    "integrator consumes the probe's measured rate)"
+                )
+            hcfg = _dc.replace(hcfg, hinge_integral=args.hinge_integral)
+        if getattr(args, "k_mse_scale", 1.0) != 1.0:
+            hcfg = _dc.replace(hcfg, k_mse_scale=args.k_mse_scale)
         # --init-from warm-starts the GENERATOR side only (the saved
         # checkpoint is g_params); the discriminator restarts fresh —
         # recommend pairing with --gan-warmup so G settles at the new
@@ -597,6 +607,20 @@ def main(argv=None) -> int:
         "--probe-ema", type=float, default=0.0, metavar="A",
         help="HiFiC only: EMA smoothing of the rate-probe sensor, "
              "0 <= A < 1 (HificConfig.probe_ema)",
+    )
+    sp.add_argument(
+        "--hinge-integral", type=float, default=0.0, metavar="KI",
+        help="HiFiC only: integral rate controller — at every probe "
+             "refresh lambda *= (ema_rate/target)^KI, clipped to "
+             "[lambda_b, lambda_a]; no steady-state droop, requires "
+             "--rate-probe-glob (HificConfig.hinge_integral)",
+    )
+    sp.add_argument(
+        "--k-mse-scale", type=float, default=1.0, metavar="S",
+        help="HiFiC only: scale the MSE loss weight by S "
+             "(LPIPS-absent rebalancing — with random-init VGG the "
+             "perceptual term is inert and the paper's balance leaves "
+             "reconstructions GAN-dominated; HificConfig.k_mse_scale)",
     )
     sp.add_argument(
         "--init-from", default=None, metavar="MODEL",

@@ -102,6 +102,27 @@ class HificConfig:
     #    (ADVICE r4: smooth the hinge statistic before the comparison).
     hinge_softness: float = 0.0
     probe_ema: float = 0.0
+    # Integral rate controller (round-5). The log-proportional law above
+    # has steady-state droop by construction: its fixed point is where
+    # lambda(rate) meets the codec's own rate-vs-lambda curve, not the
+    # target (measured: hific-hi-v7 settled at eval 0.78-0.84 bpp for
+    # target 0.45 with lam oscillating 5-6.5 — self-consistent and
+    # wrong). hinge_integral = ki > 0 switches the controller to a
+    # host-side log-space integrator: at every probe refresh,
+    # lambda *= (ema_rate / target)^ki, clipped to [lambda_b, lambda_a].
+    # At equilibrium the multiplier is 1 exactly at rate == target — no
+    # droop. ki is the per-refresh gain (0.3-0.7 stable with
+    # probe_ema 0.6 at 25-step cadence). 0 = proportional/bang-bang law.
+    hinge_integral: float = 0.0
+    # LPIPS-absent rebalancing. The paper's loss balance assumes a REAL
+    # VGG-LPIPS term (weight 1.0 — typically the largest loss share);
+    # with the sandbox's random-init VGG the perceptual term is inert
+    # (~0.0015 of the loss), leaving reconstruction anchored by k_mse
+    # alone against the GAN term — measured v7 outcome: mse ~250-320
+    # (24.5 dB) where healthy HiFiC sits a few dB under the MSE codecs
+    # (>= 28 dB here). Scaling k_mse restores the faithfulness pressure
+    # the missing LPIPS was supplying. 1.0 = paper weights.
+    k_mse_scale: float = 1.0
     num_latents: int = 220
     num_hyperlatents: int = 320
     num_residual_blocks: int = 9

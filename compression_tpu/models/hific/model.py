@@ -151,7 +151,7 @@ def make_loss_fns(
     """
 
     def g_loss_fn(g_params, d_vars, batch, rng, pmean_axis=None,
-                  gan_scale=1.0, probe_bpp=-1.0):
+                  gan_scale=1.0, probe_bpp=-1.0, lam_override=-1.0):
         x_hat, y_hat, bpp, hinge_bpp = model.apply(
             g_params, batch, rng, training=True
         )
@@ -200,9 +200,14 @@ def make_loss_fns(
             lam = jnp.where(
                 hinge_stat > cfg.target_rate, cfg.lambda_a, cfg.lambda_b
             )
+        # Integral controller (HificConfig.hinge_integral): the host-side
+        # integrator in train.py owns lambda and ships it per step; a
+        # nonnegative lam_override replaces the memoryless laws above.
+        lam_override = jnp.asarray(lam_override, lam.dtype)
+        lam = jnp.where(lam_override >= 0.0, lam_override, lam)
         loss = (
             lam * bpp
-            + cfg.k_mse * mse
+            + cfg.k_mse * cfg.k_mse_scale * mse
             + cfg.k_lpips * perceptual
             + cfg.k_gan * gan_scale * gan_loss
         )
@@ -274,7 +279,8 @@ def make_train_steps(
     )
 
     def joint_step(g_params, d_vars, g_opt, d_opt, batch, rng,
-                   step_idx=None, pmean_axis=None, probe_bpp=None):
+                   step_idx=None, pmean_axis=None, probe_bpp=None,
+                   lam_override=None):
         if batch.dtype == jnp.uint8:
             # uint8-on-the-wire batches (models/common.crop_dataset):
             # normalize on-device, identical math to host-side /255.
@@ -298,9 +304,11 @@ def make_train_steps(
 
         if probe_bpp is None:  # legacy callers: patch-statistic hinge
             probe_bpp = jnp.float32(-1.0)
+        if lam_override is None:  # legacy callers: config lambda laws
+            lam_override = jnp.float32(-1.0)
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             g_params, d_vars, batch, rng, pmean_axis=pmean_axis,
-            gan_scale=gate, probe_bpp=probe_bpp,
+            gan_scale=gate, probe_bpp=probe_bpp, lam_override=lam_override,
         )
         g_grads = _reduce(g_grads)
         g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
@@ -340,34 +348,38 @@ def make_train_steps(
         mesh = make_mesh(num_devices, axis)
 
         def shard_step(g_params, d_vars, g_opt, d_opt, batch, rng, step_idx,
-                       probe_bpp):
+                       probe_bpp, lam_override):
             # Decorrelate dither across devices, deterministically.
             dev_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             return joint_step(
                 g_params, d_vars, g_opt, d_opt, batch, dev_rng,
                 step_idx=step_idx, pmean_axis=axis, probe_bpp=probe_bpp,
+                lam_override=lam_override,
             )
 
         mapped = jax.jit(
             jax.shard_map(
                 shard_step,
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P(), P(axis), P(), P(), P()),
+                in_specs=(P(), P(), P(), P(), P(axis), P(), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
                 check_vma=False,
             )
         )
 
         def step(g_params, d_vars, g_opt, d_opt, batch, rng, step_idx=None,
-                 probe_bpp=None):
+                 probe_bpp=None, lam_override=None):
             if step_idx is None:  # legacy 6-arg callers: past any warm-up
                 step_idx = cfg.gan_warmup_steps
             if probe_bpp is None:
                 probe_bpp = -1.0
+            if lam_override is None:
+                lam_override = -1.0
             return mapped(
                 g_params, d_vars, g_opt, d_opt, batch, rng,
                 jnp.asarray(step_idx, jnp.int32),
                 jnp.asarray(probe_bpp, jnp.float32),
+                jnp.asarray(lam_override, jnp.float32),
             )
     else:
         step = jax.jit(joint_step, static_argnames=("pmean_axis",))

@@ -32,6 +32,11 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
             f"HiFiC patch_size must be a multiple of 64 (16x encoder "
             f"stride x 4x hyper stride); got {train_cfg.patch_size}"
         )
+    if cfg.hinge_integral > 0.0 and not cfg.rate_probe_glob:
+        raise ValueError(
+            "hinge_integral > 0 requires rate_probe_glob: the integrator "
+            "consumes the probe's measured full-resolution rate"
+        )
     model = HificModel(cfg)
     disc = archs.Discriminator()
     lpips_model, lpips_params = make_lpips(train_cfg.patch_size)
@@ -134,6 +139,15 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
 
     t0 = time.time()
     probe_val = -1.0
+    # Integral rate controller state (HificConfig.hinge_integral): the
+    # host integrates log-lambda against the probe's rate error — see the
+    # config for why the memoryless proportional law cannot hit the
+    # target. Seeded at the geometric midpoint of the two arms.
+    lam_state = (
+        float(np.sqrt(cfg.lambda_a * cfg.lambda_b))
+        if cfg.hinge_integral > 0.0
+        else -1.0
+    )
     for step in range(1, train_cfg.steps + 1):
         rng, step_rng = jax.random.split(rng)
         batch = place(next(data))
@@ -150,10 +164,17 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
                 )
             else:
                 probe_val = new_val
+            if cfg.hinge_integral > 0.0:
+                ratio = max(probe_val, 1e-6) / cfg.target_rate
+                lam_state = float(np.clip(
+                    lam_state * ratio ** cfg.hinge_integral,
+                    cfg.lambda_b, cfg.lambda_a,
+                ))
         g_params, d_vars, g_opt, d_opt, metrics = step_fn(
             g_params, d_vars, g_opt, d_opt, batch, step_rng,
             jnp.asarray(step - 1, jnp.int32),  # gan_warmup_steps gate
             probe_bpp=jnp.asarray(probe_val, jnp.float32),
+            lam_override=jnp.asarray(lam_state, jnp.float32),
         )
         if step % train_cfg.log_every == 0 or step == train_cfg.steps:
             m = {k: float(v) for k, v in metrics.items()}

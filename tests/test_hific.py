@@ -468,3 +468,103 @@ def test_train_warm_start_resumes_generator():
     # whereas a fresh init would differ by the init scale.
     d0 = float(jnp.max(jnp.abs(jax.tree_util.tree_leaves(g2)[0] - marker)))
     assert d0 <= 2 * cfg.lr * tc.steps + 1e-8, d0
+
+
+def test_lam_override_bypasses_hinge_and_k_mse_scale_scales_loss():
+    """Integral-controller plumbing (round-5, configs.py hinge_integral):
+    a nonnegative lam_override IS the rate lambda regardless of the probe
+    statistic, and k_mse_scale multiplies exactly the MSE term."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    model = hific.HificModel(cfg)
+    disc = hific.Discriminator()
+    from compression_tpu.models.hific.lpips import LPIPS
+
+    lpips = LPIPS()
+    batch = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32
+    )
+    lp = lpips.init(jax.random.PRNGKey(3), batch, batch)
+    g_params = model.init(
+        jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1), training=True
+    )
+    _, y_hat0, _, _ = model.apply(
+        g_params, batch, jax.random.PRNGKey(2), training=True
+    )
+    d_vars = disc.init(
+        jax.random.PRNGKey(4), batch, y_hat0, update_stats=False
+    )
+    g_loss_fn, _ = hific.make_loss_fns(model, disc, lpips, lp, cfg)
+
+    def run(**kw):
+        return g_loss_fn(
+            g_params, d_vars, batch, jax.random.PRNGKey(5), **kw
+        )
+
+    # Override wins over any probe statistic (high or low rate).
+    for probe in (0.01, 100.0):
+        _, aux = run(probe_bpp=probe, lam_override=0.375)
+        np.testing.assert_allclose(float(aux["lam"]), 0.375, rtol=1e-6)
+    # Negative override falls back to the configured hinge law.
+    _, aux = run(probe_bpp=100.0, lam_override=-1.0)
+    np.testing.assert_allclose(float(aux["lam"]), cfg.lambda_a, rtol=1e-6)
+
+    # k_mse_scale: same params, scaled config -> loss differs by exactly
+    # (scale - 1) * k_mse * mse.
+    cfg4 = dataclasses.replace(cfg, k_mse_scale=4.0)
+    g_loss_fn4, _ = hific.make_loss_fns(model, disc, lpips, lp, cfg4)
+    l1, aux1 = run(probe_bpp=0.01, lam_override=0.375)
+    l4, aux4 = g_loss_fn4(
+        g_params, d_vars, batch, jax.random.PRNGKey(5),
+        probe_bpp=0.01, lam_override=0.375,
+    )
+    np.testing.assert_allclose(
+        float(l4 - l1), 3.0 * cfg.k_mse * float(aux1["mse"]), rtol=1e-5
+    )
+
+
+def test_hinge_integral_train_integration(tmp_path):
+    """hinge_integral (round-5): the host integrator seeds lambda at the
+    geometric midpoint and multiplies by (ema/target)^ki at every probe
+    refresh — with the probe rate far above target, lam must RISE
+    monotonically toward lambda_a within a few steps (the proportional
+    law's droop is the diagnosed v7 failure; see configs.py)."""
+    import dataclasses
+
+    from compression_tpu.models import common
+    from compression_tpu.util import image as image_util
+
+    rng = np.random.RandomState(0)
+    image_util.write_png(
+        str(tmp_path / "p0.png"),
+        rng.randint(0, 255, (128, 128, 3)).astype(np.uint8),
+    )
+    cfg = dataclasses.replace(
+        _tiny_cfg(),
+        rate_probe_glob=str(tmp_path / "*.png"),
+        rate_probe_every=1,
+        probe_ema=0.5,
+        hinge_integral=0.5,
+        # A tiny random model on noise codes far above this target.
+        target_rate=0.01,
+    )
+    tc = common.TrainConfig(
+        train_glob=None, steps=3, batch_size=1, patch_size=64, log_every=1,
+        seed=0, checkpoint_dir=str(tmp_path), checkpoint_name="t.msgpack",
+    )
+    model, g_params, d_vars = hific.train(cfg, tc)
+    import csv as _csv
+
+    with open(str(tmp_path / "t.msgpack.metrics.csv")) as f:
+        rows = list(_csv.DictReader(f))
+    lams = [float(r["lam"]) for r in rows]
+    mid = float(np.sqrt(cfg.lambda_a * cfg.lambda_b))
+    assert lams[0] > mid, (lams, mid)       # first refresh already pushed up
+    assert lams == sorted(lams), lams       # monotone rise while over target
+    # And hinge_integral without a probe is rejected.
+    import pytest as _pytest
+
+    bad = dataclasses.replace(cfg, rate_probe_glob="")
+    with _pytest.raises(ValueError, match="rate_probe_glob"):
+        hific.train(bad, tc)
