@@ -142,9 +142,17 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
     # Integral rate controller state (HificConfig.hinge_integral): the
     # host integrates log-lambda against the probe's rate error — see the
     # config for why the memoryless proportional law cannot hit the
-    # target. Seeded at the geometric midpoint of the two arms.
+    # target. Seeded at the geometric midpoint of the two arms. The arm
+    # bounds scale with k_mse_scale: lambda trades rate against the
+    # distortion TERM, so reaching the same rate under an S-times-heavier
+    # MSE share needs S-times the lambda (measured: lo-v8 pinned at
+    # lambda_a=8 with k_mse_scale=4 and descended at less than half the
+    # v5 bang-bang slope).
+    _lam_scale = max(cfg.k_mse_scale, 1.0)
+    _lam_lo = cfg.lambda_b * _lam_scale
+    _lam_hi = cfg.lambda_a * _lam_scale
     lam_state = (
-        float(np.sqrt(cfg.lambda_a * cfg.lambda_b))
+        float(np.sqrt(_lam_hi * _lam_lo))
         if cfg.hinge_integral > 0.0
         else -1.0
     )
@@ -168,7 +176,7 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
                 ratio = max(probe_val, 1e-6) / cfg.target_rate
                 lam_state = float(np.clip(
                     lam_state * ratio ** cfg.hinge_integral,
-                    cfg.lambda_b, cfg.lambda_a,
+                    _lam_lo, _lam_hi,
                 ))
         g_params, d_vars, g_opt, d_opt, metrics = step_fn(
             g_params, d_vars, g_opt, d_opt, batch, step_rng,
