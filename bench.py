@@ -449,6 +449,38 @@ def main():
         f"headline: coder={best} of {results}", file=sys.stderr
     )
 
+    # Full-duplex transcode (VERDICT r4 task 4): chain the decode pipeline
+    # directly onto the encode pipeline so batch i's image d2h fetch
+    # overlaps batch i+2's input h2d upload. end_to_end above runs the two
+    # phases back to back, each saturating the link in ONE direction at a
+    # time; the serving deployment (compress requests and decompress
+    # requests interleaved, or transcode) drives both directions at once.
+    # Same bytes, same product code paths — only the phase barrier between
+    # encode and decode is removed. Kept as a separate field so
+    # `end_to_end`'s round-comparable semantics stay fixed.
+    transcode = None
+    try:
+        codec.timer = StageTimer()
+        t0 = time.perf_counter()
+        outs = list(
+            codec.decompress_iter(
+                codec.compress_iter(
+                    (images for _ in range(rounds)), depth=2, coder=best
+                ),
+                depth=2,
+            )
+        )
+        dt = time.perf_counter() - t0
+        assert len(outs) == rounds and outs[0].shape == images.shape
+        transcode = n_imgs / dt
+        print(
+            f"transcode (chained enc->dec, full-duplex link): "
+            f"{transcode:.3f} img/s vs end_to_end {results[best]:.3f}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"transcode metric failed: {e!r}", file=sys.stderr)
+
     # Round-comparability companions (VERDICT r3 item 3): link probe +
     # link-independent compute-only throughput. Best-effort — the
     # end-to-end product number must survive either failing.
@@ -498,6 +530,7 @@ def main():
                 "vs_baseline": round(results[best] / BASELINE_IMG_PER_S, 3),
                 "end_to_end": round(results[best], 3),
                 "coder": best,
+                "transcode": round(transcode, 3) if transcode else None,
                 "compute_only": (
                     round(compute_only, 3) if compute_only else None
                 ),
