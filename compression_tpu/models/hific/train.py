@@ -101,21 +101,25 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
         orig_px = imgs[0].shape[0] * imgs[0].shape[1]
         pad_px = probe_batch.shape[1] * probe_batch.shape[2]
         probe_scale = pad_px / orig_px
-        probe_rng = jax.random.PRNGKey(train_cfg.seed + 7919)
 
         @jax.jit
         def probe_fn(p, b):
-            # ROUNDED-rate bpp (training=False -> straight-through
-            # quantization in the entropy models): the statistic the
-            # controller regulates must be the one eval reports. The
-            # first probe version measured the NOISY rate on the theory
-            # that the noise-vs-round gap is second-order — measured
-            # wrong: at hific-lo's operating point the noisy full-res
-            # rate ran 4.6x ABOVE the coded rate (0.176 regulated vs
-            # 0.038 coded, hific-lo-v5.csv), because near-dead latents
-            # cost ~0 bits rounded but a finite noisy differential rate.
+            # The statistic the controller regulates must be the one eval
+            # reports (the coded bpp). The first probe version measured
+            # the NOISY rate on the theory that the noise-vs-round gap is
+            # second-order — measured wrong: at hific-lo's operating
+            # point it ran 4.6x ABOVE the coded rate (0.176 regulated vs
+            # 0.038 coded, hific-lo-v5.csv), near-dead latents cost ~0
+            # bits rounded but a finite noisy differential rate. The
+            # second version measured the model-DENSITY rate of the
+            # rounded symbols — still 2x above the coded rate on trained
+            # checkpoints, because the 12-bit CDF tables floor the cost
+            # of symbols the learned prior underfits (all of it in
+            # hyperprior z channels; see HificModel.coded_bpp). The
+            # statistic of record is the table-floored rate, which
+            # tracks the coder to <2%.
             return (
-                model.apply(p, b, probe_rng, training=False)[2] * probe_scale
+                model.apply(p, b, method=HificModel.coded_bpp) * probe_scale
             )
 
     n_dev = train_cfg.num_devices
