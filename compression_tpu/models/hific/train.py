@@ -147,13 +147,19 @@ def train(cfg: HificConfig, train_cfg: common.TrainConfig, params=None):
     # host integrates log-lambda against the probe's rate error — see the
     # config for why the memoryless proportional law cannot hit the
     # target. Seeded at the geometric midpoint of the two arms. The arm
-    # bounds scale with k_mse_scale: lambda trades rate against the
-    # distortion TERM, so reaching the same rate under an S-times-heavier
-    # MSE share needs S-times the lambda (measured: lo-v8 pinned at
-    # lambda_a=8 with k_mse_scale=4 and descended at less than half the
-    # v5 bang-bang slope).
+    # The PUSH-DOWN bound scales with k_mse_scale: lambda trades rate
+    # against the distortion TERM, so pushing rate down under an
+    # S-times-heavier MSE share needs S-times the lambda (measured:
+    # lo-v8 pinned at lambda_a=8 with k_mse_scale=4 and descended at
+    # less than half the v5 bang-bang slope). The RATE-BUYING bound must
+    # NOT scale: a heavier MSE share shifts the whole lambda-to-rate map
+    # up, so reaching a HIGH rate target needs a LOWER lambda than at
+    # k_mse_scale=1 — scaling the floor clips the controller's authority
+    # exactly when it needs to buy rate (measured: hi-v10 pinned at the
+    # scaled floor 0.625 for the whole back half of the run with probe
+    # 0.25 vs target 0.45, k_mse_scale=10).
     _lam_scale = max(cfg.k_mse_scale, 1.0)
-    _lam_lo = cfg.lambda_b * _lam_scale
+    _lam_lo = cfg.lambda_b
     _lam_hi = cfg.lambda_a * _lam_scale
     lam_state = (
         float(np.sqrt(_lam_hi * _lam_lo))
