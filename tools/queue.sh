@@ -66,9 +66,7 @@ q_run() {
   # No fall-through on a failed train: evaluating whatever stale
   # checkpoint happens to share the name would commit a row whose label
   # (fresh run) does not match its provenance.
-  if ! timeout "$tmo" $TFCI train "$name" --glob "$DATA/train/*.png" \
-    --steps "$steps" --batch-size 8 --patch-size 256 \
-    --lr-schedule cosine --checkpoint-every 2500 "$@"; then
+  if ! train_with_stall_guard "$tmo" "$name" "$steps" "$@"; then
     step "TRAIN FAILED: $name — skipping promote/eval for this item"
     return 0
   fi
@@ -76,6 +74,50 @@ q_run() {
   step "eval $name -> $csv"
   try timeout 1800 $TFCI eval "$name" "$DATA/eval/*.png" --csv "$R/$csv"
   row_commit "results: $name $steps-step run (640-img set)"
+}
+
+# Launch `tfci train` with a stall watchdog and ONE retry. The tunneled
+# chip intermittently wedges a fresh process at startup (an RPC hangs
+# before the first step; observed twice on 2026-08-20: 18+ min with ~0
+# CPU and no metrics row, while a relaunched identical run trains at
+# 100+ img/s). Progress signal: the append-only metrics CSV (one row per
+# 100 steps). No row for stall_s seconds => kill and retry once.
+train_with_stall_guard() {
+  local tmo=$1 name=$2 steps=$3; shift 3
+  local mfile="$TPC_MODEL_DIR/$name.train.msgpack.metrics.csv"
+  local stall_s=900
+  local attempt rc tpid t0 age now mt
+  for attempt in 1 2; do
+    timeout "$tmo" $TFCI train "$name" --glob "$DATA/train/*.png" \
+      --steps "$steps" --batch-size 8 --patch-size 256 \
+      --lr-schedule cosine --checkpoint-every 2500 "$@" &
+    tpid=$!
+    t0=$(date -u +%s)
+    while kill -0 "$tpid" 2>/dev/null; do
+      sleep 30
+      now=$(date -u +%s)
+      mt=$(stat -c %Y "$mfile" 2>/dev/null || echo "$t0")
+      age=$(( now - mt ))
+      if [ "$age" -gt "$stall_s" ]; then
+        step "STALL: $name no metrics progress ${age}s (attempt $attempt) — killing $tpid"
+        kill "$tpid" 2>/dev/null
+        sleep 5
+        kill -9 "$tpid" 2>/dev/null
+        break
+      fi
+    done
+    wait "$tpid"; rc=$?
+    [ "$rc" -eq 0 ] && return 0
+    # rc != 0: stall-kill or real failure. A metrics file with rows means
+    # training was under way and died — do not silently restart a
+    # half-done run (resume state was wiped for freshness); retry only
+    # the never-started wedge.
+    if [ -s "$mfile" ]; then
+      return "$rc"
+    fi
+    step "retrying $name after startup wedge (attempt $attempt failed rc=$rc)"
+  done
+  return 1
 }
 
 q_report() {
