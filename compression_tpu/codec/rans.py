@@ -118,19 +118,38 @@ def _divmod24(n, d):
     """Exact (n // d, n % d) for u32 n < 2**24, d in [1, 2**15].
 
     Both fit a float32 mantissa exactly, so one f32 divide + floor gives a
-    quotient within 1 of truth (f32 rounds the exact real quotient once);
-    the integer remainder check then corrects it deterministically. ~6 VPU
-    ops vs the multi-op microcoded u32 integer division."""
+    quotient within a few of truth; a SIGNED remainder then corrects it
+    deterministically. Still ~12 cheap VPU ops vs the multi-op microcoded
+    u32 integer division.
+
+    The correction must be sign-aware: the TPU (axon) lowers f32 divide to
+    a reciprocal-multiply that is NOT correctly rounded (measured +1 ulp on
+    this platform, vs CPU's 0.5-ulp IEEE divide), so floor(q) can land
+    ABOVE the true quotient. An earlier unsigned-wraparound check
+    (`r = n - q*d; under = r >= d; over = r > n`, under taking precedence)
+    mis-repaired exactly that case — q too large wraps r to ~2**32, which
+    satisfies BOTH predicates, and the under branch pushed q further up;
+    in :func:`_divmod32` the wrecked remainder then poisons the second
+    long-division step (observed final error ~2**32/d on ~1e-4 of random
+    u32 operands, TPU only — CPU's correctly-rounded divide never produced
+    an overshoot, which is why the CPU test grid missed it). The signed
+    form classifies over/undershoot unambiguously, and two correction
+    rounds per side cover a +/-2 integer error, double the measured bound.
+    """
+    di = d.astype(jnp.int32)
     q = jnp.floor(n.astype(jnp.float32) / d.astype(jnp.float32)).astype(
-        jnp.uint32
+        jnp.int32
     )
-    r = n - q * d
-    # floor(rounded quotient) is off by at most one in either direction.
-    under = r >= d          # q too small (r computed mod 2**32 stays >= d)
-    over = r > n            # q too large (true r went negative, wrapped)
-    q = jnp.where(under, q + 1, jnp.where(over, q - 1, q))
-    r = jnp.where(under, r - d, jnp.where(over, r + d, r))
-    return q, r
+    r = n.astype(jnp.int32) - q * di  # |q err| <= 2 => r in (-2d, n + 2d)
+    for _ in range(2):
+        hi = r >= di  # q too small
+        q = jnp.where(hi, q + 1, q)
+        r = jnp.where(hi, r - di, r)
+    for _ in range(2):
+        lo = r < 0  # q too large (overshot floor)
+        q = jnp.where(lo, q - 1, q)
+        r = jnp.where(lo, r + di, r)
+    return q.astype(jnp.uint32), r.astype(jnp.uint32)
 
 
 def _divmod32(n, d):

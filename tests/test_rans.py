@@ -183,3 +183,26 @@ def test_divmod32_exact_over_adversarial_grid():
     np.testing.assert_array_equal(
         np.asarray(r), (N.astype(np.uint64) % D).astype(np.uint32)
     )
+
+def test_divmod32_tpu_overshoot_regression_vector():
+    """Recorded operand pairs where the axon TPU's f32 reciprocal-divide
+    overshoots the floor(q) estimate by +1 ulp. The original unsigned
+    wraparound correction turned that overshoot into a ~2**32/d final
+    error (both its predicates fire on a wrapped remainder and the wrong
+    branch won); the sign-aware correction must repair it. On CPU the
+    divide is correctly rounded and these pass trivially — the pairs are
+    kept so any accelerator run of the suite exercises the exact recorded
+    failure (first seen 2026-08-20: bench.py device roundtrip failed on
+    the real chip while the CPU grid stayed green)."""
+    N = np.array(
+        [3242368409, 4048944566, 3291050008, 2487324566, 3652154634],
+        dtype=np.uint32,
+    )
+    D = np.array([3, 6835, 73, 648, 102], dtype=np.uint32)
+    q, r = rans._divmod32(jnp.asarray(N), jnp.asarray(D))
+    np.testing.assert_array_equal(
+        np.asarray(q), (N.astype(np.uint64) // D).astype(np.uint32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r), (N.astype(np.uint64) % D).astype(np.uint32)
+    )
